@@ -3,14 +3,7 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+DuckDB. Nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +11,37 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 + a deterministic
+    synthetic interleaved corpus: docs -> mention detection / entity
+    linking -> triple emission -> canonicalization -> inverse-consistent
+    canonical graph. Returns the graph Dataset."""
+    import ray.data as rd
+
+    from skosconverter_ray import corpus, vocab
+    from skosconverter_ray.pipelines.flagship import run_flagship
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=60, seed=42))
+    synthetic = corpus.documents_dataset(500, voc, seed=42, override_num_blocks=8)
+    flat = corpus.from_flat_documents(
+        rd.read_parquet(f"{SF0001}/documents.parquet", columns=["doc_id", "text"]))
+    docs = synthetic.union(flat)
+    out = run_flagship(docs, voc.triples,
+                       preferred_ns="http://example.org/vocab/",
+                       concurrency=2, batch_size=256)
+    return out["graph"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from skosconverter_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from skosconverter_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

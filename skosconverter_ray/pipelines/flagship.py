@@ -1,0 +1,160 @@
+"""Flagship pipeline: interleaved documents -> canonical knowledge graph.
+
+The BASELINE.json north-star pipeline, end to end:
+
+1. **mention detection + entity linking** — ``map_batches`` actor pool
+   over zero-copy Arrow document batches, probing span text against a
+   broadcast prefLabel/altLabel/hiddenLabel index (stages/linker.py).
+2. **triple emission** — each linked mention yields a provenance triple
+   ``(doc_uri, engine:mentions, concept)`` plus the vocabulary subgraph
+   of the mentioned concept (skos:broader / narrower / related /
+   exactMatch + notation / definition, per the north star), stamped
+   with ``source_doc``. The subgraph lookup is a broadcast dict
+   (vocabulary is dimension-sized).
+3. **set-semantics dedup** (one hash shuffle).
+4. **canonicalization** — union-find over owl:sameAs / skos:exactMatch
+   (stages/canonicalize.py), applied as a broadcast rewrite.
+5. **inverse-relation consistency pass** — broader⇔narrower etc.
+   (stages/triples.py), mirroring the reference's paired emission
+   (skos_converter.py:1540-1546).
+6. **adjacency-partitioned materialization** with a checkpoint manifest
+   (state/manifest.py) when ``out_dir`` is given.
+
+Everything stays a lazy Dataset until the caller consumes it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import (
+    OWL_SAME_AS,
+    SKOS_BROADER,
+    SKOS_DEFINITION,
+    SKOS_EXACT_MATCH,
+    SKOS_NARROWER,
+    SKOS_NOTATION,
+    SKOS_RELATED,
+)
+from ..stages.canonicalize import apply_canonicalization, canonical_map
+from ..stages.linker import build_label_index, link_documents
+from ..stages.triples import dedup_triples, inverse_consistency
+
+ENGINE_NS = "http://skosconverter-ray.example.org/ns#"
+PRED_MENTIONS = ENGINE_NS + "mentions"
+
+# the vocabulary subgraph projected per mentioned concept (north star)
+EMITTED_PREDS = (
+    SKOS_BROADER,
+    SKOS_NARROWER,
+    SKOS_RELATED,
+    SKOS_EXACT_MATCH,
+    OWL_SAME_AS,
+    SKOS_NOTATION,
+    SKOS_DEFINITION,
+)
+
+
+def _vocab_subgraph(vocab_triples: pa.Table) -> dict[str, list[tuple]]:
+    """subj -> [(pred, obj, obj_is_literal, lang)] for EMITTED_PREDS."""
+    keep = set(EMITTED_PREDS)
+    out: dict[str, list[tuple]] = {}
+    for subj, pred, obj, lit, lang in zip(
+        vocab_triples["subj"].to_pylist(),
+        vocab_triples["pred"].to_pylist(),
+        vocab_triples["obj"].to_pylist(),
+        vocab_triples["obj_is_literal"].to_pylist(),
+        vocab_triples["lang"].to_pylist(),
+    ):
+        if pred in keep:
+            out.setdefault(subj, []).append((pred, obj, lit, lang))
+    return out
+
+
+class EmitTriples:
+    """mentions batch -> triples batch (actor pool; subgraph broadcast
+    loaded once per actor in ``__init__``)."""
+
+    def __init__(self, subgraph_ref, doc_ns: str):
+        import ray
+
+        self.sub = (ray.get(subgraph_ref)
+                    if isinstance(subgraph_ref, ray.ObjectRef) else subgraph_ref)
+        self.doc_ns = doc_ns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import schemas
+
+        rows = {k: [] for k in
+                ("subj", "pred", "obj", "obj_is_literal", "lang", "source_doc")}
+
+        def add(s, p, o, lit, lang, doc):
+            rows["subj"].append(s)
+            rows["pred"].append(p)
+            rows["obj"].append(o)
+            rows["obj_is_literal"].append(lit)
+            rows["lang"].append(lang)
+            rows["source_doc"].append(doc)
+
+        seen_in_batch: set[tuple] = set()
+        for doc_id, uri in zip(batch["doc_id"].to_pylist(),
+                               batch["concept_uri"].to_pylist()):
+            add(self.doc_ns + doc_id, PRED_MENTIONS, uri, False, None, doc_id)
+            key = (doc_id, uri)
+            if key in seen_in_batch:
+                continue  # per-batch pre-dedup before the global shuffle
+            seen_in_batch.add(key)
+            for pred, obj, lit, lang in self.sub.get(uri, ()):
+                add(uri, pred, obj, lit, lang, doc_id)
+        return pa.table(
+            {
+                "subj": pa.array(rows["subj"], pa.string()),
+                "pred": pa.array(rows["pred"], pa.string()),
+                "obj": pa.array(rows["obj"], pa.string()),
+                "obj_is_literal": pa.array(rows["obj_is_literal"], pa.bool_()),
+                "lang": pa.array(rows["lang"], pa.string()),
+                "source_doc": pa.array(rows["source_doc"], pa.string()),
+            },
+            schema=schemas.TRIPLES,
+        )
+
+
+def run_flagship(docs_ds, vocab_triples: pa.Table, *,
+                 doc_ns: str = "http://skosconverter-ray.example.org/doc/",
+                 preferred_ns: str | None = None,
+                 concurrency: int = 4, batch_size: int = 1024,
+                 out_dir: str | None = None, n_parts: int = 32):
+    """documents Dataset + vocabulary triples -> canonical graph Dataset.
+
+    When ``out_dir`` is set, also materializes the graph as
+    adjacency-partitioned parquet (``part=<crc32(subj)%n_parts>``) with
+    a resumable manifest, and returns the written dataset path info.
+    """
+    import ray
+    import ray.data as rd
+
+    index_ref = ray.put(build_label_index(vocab_triples))
+    sub_ref = ray.put(_vocab_subgraph(vocab_triples))
+
+    mentions = link_documents(docs_ds, index_ref,
+                              concurrency=concurrency, batch_size=batch_size)
+    triples = mentions.map_batches(
+        EmitTriples,
+        fn_constructor_args=(sub_ref, doc_ns),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    triples = dedup_triples(triples)
+
+    vocab_ds = rd.from_arrow(vocab_triples)
+    canon = canonical_map(vocab_ds, preferred_ns=preferred_ns)
+    triples = apply_canonicalization(triples, canon)
+    graph = inverse_consistency(triples)
+
+    if out_dir is not None:
+        from ..state.manifest import write_partitioned
+
+        write_partitioned(graph, out_dir, key_col="subj", n_parts=n_parts,
+                          stage="graph", lineage=doc_ns)
+    return {"mentions": mentions, "graph": graph, "canon_map": canon}

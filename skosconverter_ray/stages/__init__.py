@@ -1,0 +1,1 @@
+"""Pipeline stages (SURVEY.md §2.2-§2.7)."""

