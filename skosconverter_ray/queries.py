@@ -522,3 +522,52 @@ def flagship_graph(sf_dir: str):
                        preferred_ns="http://example.org/vocab/",
                        concurrency=2, batch_size=512)
     return out["graph"]
+
+
+# ---------------------------------------------------------------------------
+# SKOS render / validate pipelines (rows-only: graph+order semantics
+# beyond SQL; conformance is pytest-verified against golden outputs)
+# ---------------------------------------------------------------------------
+
+@_q("skos_tree_rows")
+def skos_tree_rows(sf_dir: str):
+    """Vocabulary triples -> inverse-closed, globally ordered tree_rows
+    (the render IR behind the CSV/MD/XML/JSON sinks)."""
+    import ray.data as rd
+
+    from . import vocab
+    from .pipelines.skos2notion import tree_rows_pipeline
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=3, n_concepts=120,
+                                               seed=42))
+    return tree_rows_pipeline(rd.from_arrow(voc.triples))
+
+
+@_q("skos_validate")
+def skos_validate(sf_dir: str):
+    """Validator suite over the pathology fixture -> issues table."""
+    import ray.data as rd
+
+    from . import vocab
+    from .stages.validate import validate
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
+                                               seed=7, pathologies=True))
+    return validate(rd.from_arrow(voc.triples))
+
+
+@_q("markdown_roundtrip")
+def markdown_roundtrip(sf_dir: str):
+    """vocab -> markdown -> triples (intended to-skos semantics,
+    D2/D3-fixed); returns the recovered triple set."""
+    import ray.data as rd
+
+    from . import vocab
+    from .pipelines.skos2notion import to_markdown
+    from .sources.markdown import parse_markdown_dataset
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=50,
+                                               seed=42))
+    md = to_markdown(rd.from_arrow(voc.triples))
+    docs = rd.from_items([{"doc_id": "roundtrip", "text": md}])
+    return parse_markdown_dataset(docs, "http://example.org/vocab/")

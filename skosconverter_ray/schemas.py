@@ -78,6 +78,8 @@ TREE_ROWS = pa.schema(
         ("notation", pa.string()),
         ("uri", pa.string()),
         ("level", pa.int32()),
+        ("same_as", pa.string()),   # ", "-joined; markdown/turtle sinks
+        ("related", pa.string()),
     ]
 )
 
