@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` mode: run the flagship docs->triples->canonical-graph
+pipeline twice in FRESH processes (num_cpus=8, then 32) on the same
+deterministic synthetic corpus and report both throughputs plus the
+scaling efficiency E = R32 / (4 * R8)  (sandbox proxy for the north
+rule's N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline subset of the queries() registry: the flagship KG pipeline
+# plus the wide-shuffle / scan-heavy operator pipelines.
+HEADLINE = [
+    "flagship_graph",
+    "doc_dedup_exact",
+    "doc_dedup_minhash",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_language_id",
+    "doc_fingerprint",
+    "ann_topk_cosine",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "events_daily",
+    "region_customer_stats",
+]
+
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "40000"))
+
+
+def _consume(res) -> int:
+    """Materialize a query result enough to count rows (Datasets are
+    consumed via count() so the pipeline actually executes)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.count()  # ray.data.Dataset
+
+
+def run_headline() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from skosconverter_ray.queries import QUERIES
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_pipelines_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def _scale_worker(num_cpus: int) -> None:
+    """One fresh-process flagship run; prints a small JSON blob."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from skosconverter_ray import corpus, vocab
+    from skosconverter_ray.pipelines.flagship import run_flagship
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=4, n_concepts=400,
+                                               seed=42))
+    docs = corpus.documents_dataset(SCALING_DOCS, voc, seed=42,
+                                    override_num_blocks=max(64, num_cpus * 4))
+    t0 = time.perf_counter()
+    out = run_flagship(docs, voc.triples,
+                       preferred_ns="http://example.org/vocab/",
+                       concurrency=max(2, num_cpus // 2), batch_size=1024)
+    n_triples = out["graph"].count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),
+                      "docs": SCALING_DOCS, "triples": n_triples,
+                      "docs_per_s": round(SCALING_DOCS / wall, 1)}))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    results = []
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_scale-worker", str(cpus)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results[0]["docs_per_s"], results[1]["docs_per_s"]
+    eff = round(r32 / (4.0 * r8), 3)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": eff,
+        "unit": "ratio",
+        "runs": results,
+        "throughput_8": r8,
+        "throughput_32": r32,
+        "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    if "--_scale-worker" in sys.argv:
+        _scale_worker(int(sys.argv[sys.argv.index("--_scale-worker") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_headline()

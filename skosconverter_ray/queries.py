@@ -556,6 +556,203 @@ def skos_validate(sf_dir: str):
     return validate(rd.from_arrow(voc.triples))
 
 
+# ---------------------------------------------------------------------------
+# Documents: MinHash+LSH near-dup pairs with exact-Jaccard verification
+# (training-data dedup; oracle = brute-force exact word-3gram Jaccard)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dedup_minhash",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+)
+def doc_dedup_minhash(sf_dir: str):
+    """MinHash(128) + LSH(32x4) candidate generation, then exact
+    word-3gram Jaccard verification via two hash joins on the compact
+    shingle-hash sets. The oracle brute-forces all O(n^2) pairs — the
+    engine never does (stages/dedup.py docstring has the recall math:
+    P(miss | j>=0.8) ~ 5e-8). Jaccard is emitted un-rounded: both
+    sides compute inter/union as a double division of exact integer
+    counts, so the doubles are bitwise identical."""
+    from .stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    return _collect(pairs, pa.schema([("doc_a", pa.int64()),
+                                      ("doc_b", pa.int64()),
+                                      ("jaccard", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
+# Documents: SimHash near-dup (rows-only: hash fn not SQL-reproducible;
+# pytest covers exactness of the banding vs brute-force hamming)
+# ---------------------------------------------------------------------------
+
+@_q("doc_dedup_simhash")
+def doc_dedup_simhash(sf_dir: str):
+    """64-bit SimHash, 16-bit-quarter banding (pigeonhole-exact for
+    hamming <= 3), per-bucket verified pairs."""
+    from .stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Documents: fingerprinting (min-shingle-hash; md5 so DuckDB can verify)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_fingerprint",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   FOR i IN generate_series(1, len(w)-2)])) AS g
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT doc_id, min(md5(g)) AS min_fp, count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(sf_dir: str):
+    """Per-doc content fingerprint: min(md5(word-3gram)) — a 1-perm
+    MinHash usable as a cheap near-dup blocking key — plus distinct
+    shingle count. Pure per-batch map, no shuffle."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, fps, counts = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            words = (t or "").split()
+            if len(words) < 3:
+                continue
+            grams = {" ".join(words[i:i + 3])
+                     for i in range(len(words) - 2)}
+            ids.append(d)
+            fps.append(min(_hl.md5(g.encode()).hexdigest() for g in grams))
+            counts.append(len(grams))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "min_fp": pa.array(fps, pa.string()),
+                         "n_shingles": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Documents: language-ID (marker-word n-gram heuristic, SQL-verifiable)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = [
+    ("en", r"\b(the|a|of)\b"),
+    ("es", r"\b(data|table|row)\b"),
+    ("de", r"\b(hash|join|merge)\b"),
+    ("fr", r"\b(scan|filter|sort)\b"),
+]
+
+@_q(
+    "doc_language_id",
+    r"""
+    WITH scored AS (
+      SELECT lang AS lang_actual,
+             len(regexp_extract_all(text, '\b(the|a|of)\b')) AS c_en,
+             len(regexp_extract_all(text, '\b(data|table|row)\b')) AS c_es,
+             len(regexp_extract_all(text, '\b(hash|join|merge)\b')) AS c_de,
+             len(regexp_extract_all(text, '\b(scan|filter|sort)\b')) AS c_fr
+      FROM documents
+    )
+    SELECT lang_actual,
+           CASE
+             WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0
+               THEN 'en'
+             WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+             WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+             WHEN c_fr > 0 THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang_actual, lang_pred
+    """,
+)
+def doc_language_id(sf_dir: str):
+    """n-gram/marker-word language-ID heuristic: argmax of per-family
+    marker counts with a fixed tie-break order, confusion-matrix
+    output. Fully vectorized (4 regex count kernels per batch)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def predict(batch: pa.Table) -> pa.Table:
+        counts = np.stack([
+            pc.count_substring_regex(batch["text"], pattern=rx)
+              .to_numpy(zero_copy_only=False)
+            for _, rx in _LANG_MARKERS
+        ])  # (4, n)
+        # argmax with first-wins tie-break == the SQL CASE chain
+        best = counts.argmax(axis=0)
+        pred = np.array([lang for lang, _ in _LANG_MARKERS])[best]
+        pred = np.where(counts.max(axis=0) > 0, pred, "und")
+        return pa.table({"lang_actual": batch["lang"],
+                         "lang_pred": pa.array(pred.tolist(), pa.string())})
+
+    ds = ds.map_batches(predict, batch_format="pyarrow")
+    return ds.groupby(["lang_actual", "lang_pred"]).aggregate(
+        Count(alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: cosine near-dup pairs (brute-force blocked matmul)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_neardup_cosine",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def embedding_neardup_cosine(sf_dir: str):
+    """Embedding-cosine near-dup: per-batch float64 matmul against a
+    broadcast normalized matrix (ray.put once), threshold 0.4. The
+    LSH-bucketed scale path is stages/similarity.py."""
+    from .stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, threshold=0.4)
+    return _collect(pairs, pa.schema([("vec_a", pa.int64()),
+                                      ("vec_b", pa.int64()),
+                                      ("cos_sim", pa.float64())]))
+
+
 @_q("markdown_roundtrip")
 def markdown_roundtrip(sf_dir: str):
     """vocab -> markdown -> triples (intended to-skos semantics,
@@ -571,3 +768,43 @@ def markdown_roundtrip(sf_dir: str):
     md = to_markdown(rd.from_arrow(voc.triples))
     docs = rd.from_items([{"doc_id": "roundtrip", "text": md}])
     return parse_markdown_dataset(docs, "http://example.org/vocab/")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: LSH-bucketed ANN (scale path; rows-only — approximate by
+# design, recall vs brute force is pytest-asserted)
+# ---------------------------------------------------------------------------
+
+@_q("ann_topk_lsh")
+def ann_topk_lsh(sf_dir: str):
+    """Random-hyperplane LSH candidate pruning + exact-cosine rerank,
+    same query vector as ann_topk_cosine (vec_id 0)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ann_lsh_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_lsh_topk(ds, q, k=10, exclude_ids=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: media-span feature extraction (stubbed decode; rows-only —
+# deterministic fake features, plumbing pytest-verified)
+# ---------------------------------------------------------------------------
+
+@_q("media_features")
+def media_features(sf_dir: str):
+    """Actor-pool decode/feature stage over the deterministic synthetic
+    interleaved corpus (media spans are refs, never inlined bytes)."""
+    from . import corpus, vocab
+    from .stages.multimodal import extract_media_features
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
+                                               seed=42))
+    docs = corpus.documents_dataset(400, voc, seed=42,
+                                    override_num_blocks=8)
+    return extract_media_features(docs, concurrency=(1, 2), batch_size=64)

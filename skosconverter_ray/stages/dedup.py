@@ -1,0 +1,339 @@
+"""Near-duplicate detection operators (training-data pipeline ops).
+
+The reference engine only ever dedups exact triples (rdflib set
+semantics, skos_converter.py `graph.add` throughout — SURVEY.md §2.7);
+a 10^12-doc corpus additionally needs *near*-dup removal. All operators
+here follow the same scale shape:
+
+- **shingle** — per-batch vectorized word n-gram extraction; each doc
+  is reduced to a set of 64-bit hashes so nothing downstream ships text.
+- **MinHash** — 128 universal-hash permutations ((a*x+b) mod p, p prime
+  > 2^32), numpy-vectorized per batch.
+- **LSH banding** — 32 bands x 4 rows; a doc emits 32 small
+  ``(band, key)`` rows. Candidate generation is ONE groupby over those
+  rows (the only shuffle, ~16 bytes/row/band), never an O(n^2) compare.
+  P(candidate | jaccard=0.8) = 1-(1-0.8^4)^32 ≈ 1-5e-8, so vs an exact
+  oracle at threshold 0.8 the banding is lossless in practice.
+- **exact verify** — candidate pairs hash-join back to the compact
+  shingle-hash sets (two ``Dataset.join`` s on doc id) and the true
+  Jaccard is computed per pair; LSH false positives are filtered here.
+- **SimHash** — 64-bit weighted-feature signature; near-dup = hamming
+  distance <= k, candidates found by banding the 64 bits into 16-bit
+  quarters (any pair at distance <= 3 shares at least one quarter —
+  pigeonhole, exact, not probabilistic).
+
+Skew note (A9): a cluster of m exact duplicates puts m docs in one LSH
+bucket in every band -> O(m^2) pairs. Run exact dedup (queries
+doc_dedup_exact) upstream at scale; `pairs_from_buckets` also sorts
+bucket members so pair emission is deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# MinHash parameters (fixed; changing them changes every signature)
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+_PRIME = np.uint64(4294967311)  # smallest prime > 2^32
+_MAX32 = np.uint64(0xFFFFFFFF)
+
+
+def _perm_params(seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 32, size=N_PERM).astype(np.uint64)
+    b = rng.randint(0, 1 << 32, size=N_PERM).astype(np.uint64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+def shingle_set(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram hashes (uint64, lower 32 bits used by
+    MinHash so a*x+b never overflows uint64)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    hs = {
+        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                       "big") & 0xFFFFFFFF
+        for g in set(grams)
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """(N_PERM,) uint32 signature; empty doc -> all 0xFFFFFFFF."""
+    if shingles.size == 0:
+        return np.full(N_PERM, 0xFFFFFFFF, dtype=np.uint64)
+    # (N_PERM, S): a*x+b < 2^64 because a,b,x < 2^32
+    m = (_A[:, None] * shingles[None, :] + _B[:, None]) % _PRIME
+    return (m.min(axis=1) & _MAX32).astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """One 63-bit bucket key per band (blake2b of the band's rows)."""
+    out = []
+    for band in range(N_BANDS):
+        chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
+        d = hashlib.blake2b(chunk.astype("<u8").tobytes(),
+                            digest_size=8).digest()
+        out.append(int.from_bytes(d, "big") >> 1)
+    return out
+
+
+class MinHashStage:
+    """documents batch -> one row per (doc, band): the LSH index rows,
+    plus a side shingle table is produced by `shingles_batch`. Pure
+    function of the text; stateless, but kept as a class so perm params
+    are materialized once per actor, not per batch."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for i, t in enumerate(batch[self.text_col].to_pylist()):
+            sig = minhash_signature(shingle_set(t or ""))
+            for b, k in enumerate(band_keys(sig)):
+                ids.append(i)
+                bands.append(b)
+                keys.append(k)
+        id_arr = batch[self.id_col].take(pa.array(ids, pa.int64()))
+        return pa.table({
+            "doc_id": id_arr,
+            "band": pa.array(bands, pa.int32()),
+            "key": pa.array(keys, pa.int64()),
+        })
+
+
+def shingles_batch(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, shingles: binary) — the compact join side for exact
+    verification (~8B x n_grams per doc, not the text). Packed as a
+    little-endian uint64 blob because Arrow's hash join rejects
+    list-typed payload columns; sorted so pairwise intersection is
+    O(n) via np.intersect1d(assume_unique)."""
+    sets = [
+        np.sort(shingle_set(t or "")).astype("<u8").tobytes()
+        for t in batch[text_col].to_pylist()
+    ]
+    return pa.table({
+        "doc_id": batch[id_col],
+        "shingles": pa.array(sets, pa.binary()),
+    })
+
+
+def pairs_from_buckets(group: pa.Table) -> pa.Table:
+    """One LSH bucket -> candidate pairs (doc_a < doc_b), members
+    sorted so emission is deterministic."""
+    docs = sorted(group["doc_id"].to_pylist())
+    a_out, b_out = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if docs[i] != docs[j]:
+                a_out.append(docs[i])
+                b_out.append(docs[j])
+    t = pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
+    return t.cast(pa.schema([("doc_a", group["doc_id"].type),
+                             ("doc_b", group["doc_id"].type)]))
+
+
+def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """pairs joined with both shingle sets -> exact jaccard filter."""
+    a_sets = batch["shingles_a"].to_pylist()
+    b_sets = batch["shingles_b"].to_pylist()
+    jac = np.empty(len(a_sets), dtype=np.float64)
+    for i, (ba, bb) in enumerate(zip(a_sets, b_sets)):
+        sa = np.frombuffer(ba or b"", dtype="<u8")
+        sb = np.frombuffer(bb or b"", dtype="<u8")
+        if sa.size == 0 or sb.size == 0:
+            jac[i] = 0.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac[i] = inter / (sa.size + sb.size - inter)
+    keep = jac >= threshold
+    out = pa.table({
+        "doc_a": batch["doc_a"].filter(pa.array(keep)),
+        "doc_b": batch["doc_b"].filter(pa.array(keep)),
+        # un-rounded: inter/union is a double division of exact ints,
+        # bitwise identical to any oracle computing the same counts
+        "jaccard": pa.array(jac[keep]),
+    })
+    return out
+
+
+def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
+                           id_col: str = "doc_id", threshold: float = 0.8,
+                           num_partitions: int = 32):
+    """Full MinHash+LSH near-dup pipeline: documents Dataset ->
+    (doc_a, doc_b, jaccard) pairs Dataset with exact jaccard >= threshold.
+
+    Shuffles: 1 groupby (band,key) for candidates, 1 groupby for pair
+    dedup, 2 hash joins for verification. Nothing ships document text
+    past the first map.
+    """
+    from ray.data.aggregate import Count
+
+    index = docs_ds.map_batches(
+        MinHashStage, fn_constructor_args=(text_col, id_col),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    cand = index.groupby(["band", "key"]).map_groups(
+        pairs_from_buckets, batch_format="pyarrow")
+    # a pair surfacing in k bands appears k times -> dedup on the pair
+    cand = (cand.groupby(["doc_a", "doc_b"])
+                .aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"]))
+
+    sh = docs_ds.map_batches(
+        lambda b: shingles_batch(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=512)
+    joined = cand.join(sh, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("doc_a",), right_on=("doc_id",),
+                       right_suffix="_a")
+    joined = joined.rename_columns({"shingles": "shingles_a"})
+    joined = joined.join(sh, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("doc_b",), right_on=("doc_id",),
+                         right_suffix="_b")
+    joined = joined.rename_columns({"shingles": "shingles_b"})
+    return joined.map_batches(
+        lambda b: exact_jaccard_batch(b, threshold=threshold),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features weighted by count."""
+    words = text.split()
+    if not words:
+        return 0
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    for w, c in counts.items():
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8),
+                             bitorder="little").astype(bool)
+        acc += np.where(bits, c, -c)
+    out = 0
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
+    return out & ((1 << 63) - 1)
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sh = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    return batch.append_column("simhash", pa.array(sh, pa.int64()))
+
+
+def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
+                           id_col: str = "doc_id", max_hamming: int = 3):
+    """SimHash near-dup: band the 64 bits into 4 x 16-bit quarters;
+    any pair at hamming distance <= 3 collides on >= 1 quarter
+    (pigeonhole — exact recall, unlike MinHash banding). Verify
+    hamming distance exactly inside the bucket-pair stage."""
+    from ray.data.aggregate import Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch.select([id_col, text_col]), text_col)
+        ids, bands, keys, sims = [], [], [], []
+        for d, s in zip(t[id_col].to_pylist(), t["simhash"].to_pylist()):
+            for q in range(4):
+                ids.append(d)
+                bands.append(q)
+                keys.append((s >> (16 * q)) & 0xFFFF)
+                sims.append(s)
+        return pa.table({"doc_id": pa.array(ids, t[id_col].type),
+                         "band": pa.array(bands, pa.int32()),
+                         "key": pa.array(keys, pa.int64()),
+                         "simhash": pa.array(sims, pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group["doc_id"].to_pylist(),
+                          group["simhash"].to_pylist()))
+        a_out, b_out, dist = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0]:
+                    continue
+                d = int(rows[i][1] ^ rows[j][1]).bit_count()
+                if d <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    dist.append(d)
+        return pa.table({
+            "doc_a": pa.array(a_out, group["doc_id"].type),
+            "doc_b": pa.array(b_out, group["doc_id"].type),
+            "hamming": pa.array(dist, pa.int64()),
+        })
+
+    from ray.data.aggregate import Min
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=512)
+    pairs = rows.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return (pairs.groupby(["doc_a", "doc_b"])
+                 .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (brute force; the LSH scale path lives in
+# stages/similarity.py)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.4):
+    """All-pairs cosine >= threshold via blocked matmul: each batch is
+    compared against a broadcast (ray.put once) normalized matrix —
+    O(n^2) flops but one pass over the data and no shuffle. Scale path:
+    LSH-bucketed variant (stages/similarity.py) bounds the compare set.
+    """
+    import ray
+
+    tbl = pa.concat_tables(
+        emb_ds.iter_batches(batch_format="pyarrow", batch_size=8192))
+    ids = np.asarray(tbl[id_col].to_pylist())
+    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms
+    ref = ray.put((ids, mat_n))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        q = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        sims = (q / qn) @ all_mat.T
+        qids = np.asarray(batch[id_col].to_pylist())
+        a_out, b_out, cs = [], [], []
+        for r in range(sims.shape[0]):
+            hits = np.where(sims[r] >= threshold)[0]
+            for c in hits:
+                if qids[r] < all_ids[c]:  # canonical orientation, no self
+                    a_out.append(qids[r])
+                    b_out.append(all_ids[c])
+                    cs.append(round(float(sims[r, c]), 4))
+        return pa.table({"vec_a": pa.array(a_out, pa.int64()),
+                         "vec_b": pa.array(b_out, pa.int64()),
+                         "cos_sim": pa.array(cs, pa.float64())})
+
+    return emb_ds.map_batches(block, batch_format="pyarrow", batch_size=1024)

@@ -1,0 +1,168 @@
+"""Near-dup / similarity / multimodal operator tests.
+
+Oracles are sequential Python brute force over small corpora — the
+distributed pipelines must agree exactly (MinHash banding is lossless
+at j>=0.8 within ~5e-8; SimHash quarter-banding is pigeonhole-exact)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from skosconverter_ray.stages import dedup
+
+
+def _mk_docs():
+    """12 docs: 3 exact/near-dup families + singletons."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing").split()
+    docs = {}
+    docs[0] = " ".join(base)
+    docs[1] = " ".join(base)                       # exact dup of 0
+    docs[2] = " ".join(base[:-1] + ["loudly"])     # near dup of 0
+    other = ("colorless green ideas sleep furiously under the bright "
+             "neon sign of the all night diner on route sixty six").split()
+    docs[3] = " ".join(other)
+    docs[4] = " ".join(other[:-2] + ["nine", "nine"])  # near dup of 3
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(50)]
+    for i in range(5, 12):
+        docs[i] = " ".join(rng.choice(vocab, size=40))
+    return docs
+
+
+def _brute_jaccard_pairs(docs: dict, threshold: float):
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {k: sh(v) for k, v in docs.items()}
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_matches_bruteforce(ray_session):
+    docs = _mk_docs()
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = dedup.minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=4)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.take_all()}
+    expect = _brute_jaccard_pairs(docs, 0.8)
+    assert rows.keys() == expect.keys()
+    for k in expect:
+        assert rows[k] == pytest.approx(expect[k], abs=0)  # bitwise
+
+
+def test_minhash_signature_estimates_jaccard():
+    a = dedup.shingle_set("the quick brown fox jumps over the lazy dog " * 20)
+    b = dedup.shingle_set("the quick brown fox leaps over the lazy dog " * 20)
+    sa, sb = dedup.minhash_signature(a), dedup.minhash_signature(b)
+    est = (sa == sb).mean()
+    inter = np.intersect1d(a, b).size
+    true = inter / (a.size + b.size - inter)
+    assert abs(est - true) < 0.2
+
+
+def _brute_simhash_pairs(docs: dict, max_h: int):
+    hs = {k: dedup.simhash64(v) for k, v in docs.items()}
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = int(hs[a] ^ hs[b]).bit_count()
+            if d <= max_h:
+                out[(a, b)] = d
+    return out
+
+
+def test_simhash_banding_exact(ray_session):
+    docs = _mk_docs()
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = dedup.simhash_near_dup_pairs(ds, max_hamming=3)
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got.take_all()}
+    # quarter banding is pigeonhole-exact for hamming<=3: d<=3 bit
+    # flips cannot touch all four 16-bit quarters
+    assert rows == _brute_simhash_pairs(docs, 3)
+
+
+def test_embedding_neardup_bruteforce(ray_session):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(6, 16))
+    vecs = np.vstack([base, base[0] + 0.01 * rng.normal(size=16)])
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+        for i in range(len(vecs))
+    ])
+    got = dedup.embedding_near_dup_pairs(ds, threshold=0.95)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got.take_all()}
+    assert (0, 6) in pairs
+    m = vecs.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    expect = {(i, j) for i in range(7) for j in range(i + 1, 7)
+              if sims[i, j] >= 0.95}
+    assert pairs == expect
+
+
+def test_ann_lsh_recall(ray_session):
+    from skosconverter_ray.stages.similarity import ann_lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    tbl = pa.concat_tables(emb.iter_batches(batch_format="pyarrow"))
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    q = mat[ids == 0][0]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ (q / np.linalg.norm(q))) / norms
+    order = np.argsort(-sims)
+    exact = [int(ids[i]) for i in order if ids[i] != 0][:10]
+
+    got = ann_lsh_topk(emb, q, k=10, exclude_ids=(0,)).take_all()
+    got_ids = [r["vec_id"] for r in got]
+    recall = len(set(got_ids) & set(exact)) / 10
+    assert recall >= 0.7, f"LSH recall {recall} vs exact {exact}"
+
+
+def test_media_features_plumbing(ray_session):
+    from skosconverter_ray import corpus, vocab
+    from skosconverter_ray.stages import multimodal
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=1, n_concepts=10,
+                                               seed=1))
+    docs_tbl = corpus.generate_documents_table(50, voc, seed=1)
+    kinds = ("image", "audio", "table")
+    n_media = sum(1 for spans in docs_tbl["spans"].to_pylist()
+                  for s in spans if s["kind"] in kinds and s["media_ref"])
+
+    ds = rd.from_arrow(docs_tbl)
+    out = ds.map_batches(
+        multimodal.MediaFeatureExtractor,
+        fn_constructor_kwargs={"fake": True, "kinds": kinds},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+    rows = out.take_all()
+    assert len(rows) == n_media
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # determinism: same ref -> same feature on any worker
+    f0 = multimodal._fake_feature("media://abc", "image")
+    f1 = multimodal._fake_feature("media://abc", "image")
+    assert np.array_equal(f0, f1)
+
+    # the non-fake path marks the codec boundary explicitly
+    ext = multimodal.MediaFeatureExtractor(fake=False)
+    with pytest.raises(NotImplementedError):
+        ext._decode_and_embed("media://x", "image")
+
+    # frame sampling plan is deterministic and bounded
+    fs = multimodal.FrameSampler(every_s=2.0, max_frames=4)
+    plan = fs(docs_tbl)
+    assert plan.num_rows <= n_media * 4
