@@ -808,3 +808,51 @@ def media_features(sf_dir: str):
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
     return extract_media_features(docs, concurrency=(1, 2), batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# Events: hub-key aggregate via salted two-phase aggregation (A9 — the
+# north rule's skew-handling primitive, oracle-verified)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_by_type_salted",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value,
+           CAST(min(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS min_value,
+           CAST(max(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_by_type_salted(sf_dir: str):
+    """groupby(event_type) with only 5 distinct keys over the whole
+    table — the hub-skew worst case. Runs through the salted two-phase
+    aggregate (stages/skew.py): (key, row%S) partials, then a tiny
+    final combine; results are exactly the plain groupby's (integer
+    cents, so reduction order cannot matter)."""
+    from .stages.skew import salted_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "v": _to_cents(batch["value"])})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = salted_aggregate(
+        ds, ["event_type"],
+        [("count", "", "n_events"), ("sum", "v", "total_value"),
+         ("min", "v", "min_value"), ("max", "v", "max_value")],
+        salt_buckets=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        for c in ("total_value", "min_value", "max_value"):
+            t = _from_cents(t, c)
+        return t
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -135,19 +135,52 @@ def shingles_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
-def pairs_from_buckets(group: pa.Table) -> pa.Table:
-    """One LSH bucket -> candidate pairs (doc_a < doc_b), members
-    sorted so emission is deterministic."""
-    docs = sorted(group["doc_id"].to_pylist())
-    a_out, b_out = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            if docs[i] != docs[j]:
-                a_out.append(docs[i])
-                b_out.append(docs[j])
-    t = pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
-    return t.cast(pa.schema([("doc_a", group["doc_id"].type),
-                             ("doc_b", group["doc_id"].type)]))
+def candidate_pairs(index_ds, *, num_buckets: int = 64):
+    """LSH index rows -> candidate pairs.
+
+    Rows are coarsened to ``_bucket = mix(band, key) % num_buckets``
+    so ONE groupby produces ~num_buckets cogroups (one Python call
+    each — NOT one per (band,key) bucket, which are mostly singletons
+    and would cost a Python call per doc per band). Inside a cogroup,
+    equal (band, key) runs are found with a vectorized lexsort; only
+    multi-member runs (actual collisions, rare) loop to emit pairs.
+    num_buckets bounds per-task input to |index| / num_buckets rows —
+    size it ~4x total cores at scale."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (band * np.uint64(0x9E3779B1)
+               + key * np.uint64(0x85EBCA6B)) % np.uint64(num_buckets)
+        return batch.append_column(
+            "_bucket", pa.array(mix.astype(np.int32), pa.int32()))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        docs = group["doc_id"].to_pylist()
+        order = np.lexsort((key, band))
+        b_s, k_s = band[order], key[order]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], (b_s[1:] != b_s[:-1])
+                            | (k_s[1:] != k_s[:-1]))))
+        run_end = np.concatenate((run_start[1:], [len(order)]))
+        a_out, b_out = [], []
+        for s, e in zip(run_start, run_end):
+            if e - s < 2:
+                continue
+            members = sorted(docs[i] for i in order[s:e])
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if members[i] != members[j]:
+                        a_out.append(members[i])
+                        b_out.append(members[j])
+        return pa.table({"doc_a": pa.array(a_out, group["doc_id"].type),
+                         "doc_b": pa.array(b_out, group["doc_id"].type)})
+
+    idx = index_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return idx.groupby("_bucket").map_groups(emit_pairs,
+                                             batch_format="pyarrow")
 
 
 def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
@@ -186,11 +219,12 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     """
     from ray.data.aggregate import Count
 
+    from .joinutil import cogroup_join
+
     index = docs_ds.map_batches(
         MinHashStage, fn_constructor_args=(text_col, id_col),
         batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
-    cand = index.groupby(["band", "key"]).map_groups(
-        pairs_from_buckets, batch_format="pyarrow")
+    cand = candidate_pairs(index, num_buckets=num_partitions * 4)
     # a pair surfacing in k bands appears k times -> dedup on the pair
     cand = (cand.groupby(["doc_a", "doc_b"])
                 .aggregate(Count(alias_name="_n"))
@@ -199,16 +233,14 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     sh = docs_ds.map_batches(
         lambda b: shingles_batch(b, text_col, id_col),
         batch_format="pyarrow", batch_size=512)
-    joined = cand.join(sh, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("doc_a",), right_on=("doc_id",),
-                       right_suffix="_a")
-    joined = joined.rename_columns({"shingles": "shingles_a"})
-    joined = joined.join(sh, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("doc_b",), right_on=("doc_id",),
-                         right_suffix="_b")
-    joined = joined.rename_columns({"shingles": "shingles_b"})
+    sh_a = sh.rename_columns({"doc_id": "_id_a", "shingles": "shingles_a"})
+    sh_b = sh.rename_columns({"doc_id": "_id_b", "shingles": "shingles_b"})
+    joined = cogroup_join(cand, sh_a, left_on="doc_a", right_on="_id_a",
+                          num_buckets=num_partitions)
+    joined = joined.drop_columns(["_id_a"])
+    joined = cogroup_join(joined, sh_b, left_on="doc_b", right_on="_id_b",
+                          num_buckets=num_partitions)
+    joined = joined.drop_columns(["_id_b"])
     return joined.map_batches(
         lambda b: exact_jaccard_batch(b, threshold=threshold),
         batch_format="pyarrow")
@@ -265,19 +297,41 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
                          "key": pa.array(keys, pa.int64()),
                          "simhash": pa.array(sims, pa.int64())})
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (band * np.uint64(0x9E3779B1)
+               + key * np.uint64(0x85EBCA6B)) % np.uint64(64)
+        return batch.append_column(
+            "_bucket", pa.array(mix.astype(np.int32), pa.int32()))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].to_pylist(),
-                          group["simhash"].to_pylist()))
+        """Equal-(band,key) runs via lexsort; hamming verified inline
+        on the (rare) multi-member runs."""
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        docs = group["doc_id"].to_pylist()
+        sims = group["simhash"].to_pylist()
+        order = np.lexsort((key, band))
+        b_s, k_s = band[order], key[order]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], (b_s[1:] != b_s[:-1])
+                            | (k_s[1:] != k_s[:-1]))))
+        run_end = np.concatenate((run_start[1:], [len(order)]))
         a_out, b_out, dist = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                d = int(rows[i][1] ^ rows[j][1]).bit_count()
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    dist.append(d)
+        for s, e in zip(run_start, run_end):
+            if e - s < 2:
+                continue
+            members = sorted((docs[i], sims[i]) for i in order[s:e])
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if members[i][0] == members[j][0]:
+                        continue
+                    d = int(members[i][1] ^ members[j][1]).bit_count()
+                    if d <= max_hamming:
+                        a_out.append(members[i][0])
+                        b_out.append(members[j][0])
+                        dist.append(d)
         return pa.table({
             "doc_a": pa.array(a_out, group["doc_id"].type),
             "doc_b": pa.array(b_out, group["doc_id"].type),
@@ -287,8 +341,9 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     from ray.data.aggregate import Min
 
     rows = docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=512)
-    pairs = rows.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    rows = rows.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = rows.groupby("_bucket").map_groups(bucket_pairs,
+                                               batch_format="pyarrow")
     return (pairs.groupby(["doc_a", "doc_b"])
                  .aggregate(Min("hamming", alias_name="hamming")))
 

@@ -1,0 +1,95 @@
+"""Bucket-cogroup hash join — robust distributed join primitive.
+
+Ray 2.49's ``Dataset.join`` crashes when any hash partition receives
+zero rows on a side: the join aggregator builds a schema-less empty
+table and Arrow's join can't resolve the key fields
+(ray/data/_internal/execution/operators/join.py:103-118 builds from an
+empty ArrowBlockBuilder). Sparse keys + small inputs make that routine,
+so the engine's dedup/verify paths use this instead:
+
+1. both sides get ``_bucket = crc32(key) % B`` and a ``_side`` tag;
+2. schemas are unified (missing columns become typed nulls);
+3. one ``groupby("_bucket").map_groups`` cogroups both sides;
+4. inside each bucket the actual join is a LOCAL vectorized
+   ``pa.Table.join`` — one Python call per bucket (B total), not per
+   key, and empty buckets simply never surface.
+
+Scale shape: the shuffle moves each row once (same as a hash join);
+B bounds per-task memory (corpus/B rows per bucket) and should be
+sized ~4x total cores. Skewed join keys behave like any groupby —
+salt upstream if a single key's rows exceed a bucket budget.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+
+def _bucket_of(values, n_buckets: int) -> pa.Array:
+    return pa.array(
+        [zlib.crc32(str(v).encode()) % n_buckets for v in values.to_pylist()],
+        pa.int32())
+
+
+def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
+                 num_buckets: int = 32, join_type: str = "inner"):
+    """Join two Datasets on single key columns. Column sets of the two
+    sides must be disjoint apart from the keys (rename upstream)."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    l_fields = list(zip(left_schema.names, left_schema.types))
+    r_fields = [(n, t) for n, t in zip(right_schema.names, right_schema.types)]
+    union_fields = l_fields + [(n, t) for n, t in r_fields
+                               if n not in dict(l_fields)]
+    union_schema = pa.schema(
+        [("_bucket", pa.int32()), ("_side", pa.int8())] + union_fields)
+    l_names = [n for n, _ in l_fields]
+    r_names = [n for n, _ in r_fields]
+
+    def tag(side: int, key_col: str, own: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {"_bucket": _bucket_of(batch[key_col], num_buckets),
+                    "_side": pa.array([side] * batch.num_rows, pa.int8())}
+            for name, typ in union_fields:
+                cols[name] = (batch[name] if name in own
+                              else pa.nulls(batch.num_rows, typ))
+            return pa.table(cols, schema=union_schema)
+
+        return fn
+
+    tagged = (left_ds.map_batches(tag(0, left_on, l_names),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(1, right_on, r_names),
+                                          batch_format="pyarrow")))
+
+    out_fields = [(n, t) for n, t in union_fields]
+    out_schema = pa.schema(out_fields)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"]
+        import pyarrow.compute as pc
+
+        left = (group.filter(pc.equal(side, 0))
+                     .select(l_names))
+        right = (group.filter(pc.equal(side, 1))
+                      .select(r_names))
+        if left.num_rows == 0 or (right.num_rows == 0
+                                  and join_type == "inner"):
+            return out_schema.empty_table()
+        joined = left.join(right, keys=[left_on], right_keys=[right_on],
+                           join_type=join_type)
+        # local join drops the right key; restore full output order
+        cols = {}
+        for n, t in out_fields:
+            if n in joined.column_names:
+                cols[n] = joined[n]
+            elif n == right_on:
+                cols[n] = joined[left_on]
+            else:
+                cols[n] = pa.nulls(joined.num_rows, t)
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby("_bucket").map_groups(
+        join_bucket, batch_format="pyarrow")

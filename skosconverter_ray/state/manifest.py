@@ -30,7 +30,9 @@ def partition_id_array(keys: pa.ChunkedArray | pa.Array, n_parts: int) -> pa.Arr
 
 class Manifest:
     def __init__(self, out_dir: str, stage: str):
-        self.path = os.path.join(out_dir, "manifest.jsonl")
+        # '_'-prefixed so Arrow/Ray parquet dataset discovery over
+        # out_dir skips it (default ignore_prefixes ['.', '_'])
+        self.path = os.path.join(out_dir, "_manifest.jsonl")
         self.stage = stage
         os.makedirs(out_dir, exist_ok=True)
 
