@@ -39,6 +39,9 @@ HEADLINE = [
     "pricing_summary",
     "top_orders_by_revenue",
     "events_daily",
+    "events_sessions",
+    "events_asof_purchase",
+    "events_by_type_salted",
     "region_customer_stats",
 ]
 

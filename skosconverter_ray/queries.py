@@ -856,3 +856,106 @@ def events_by_type_salted(sf_dir: str):
         return t
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Events: gap-based session windows (custom windowed-aggregate operator,
+# oracle = SQL window functions)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CAST(trunc(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, v,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM marked
+    )
+    SELECT user_id, sess,
+           count(*) AS n_events,
+           CAST(sum(v) AS BIGINT) / 100.0 AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def events_sessions(sf_dir: str):
+    """Gap-based sessionization (stages/window.py): user-bucketed
+    cogroups, vectorized lexsort + segment-boundary session numbering,
+    reduceat aggregates. 4-hour gap."""
+    from .stages.window import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return sessionize(ds, gap_s=4 * 3600.0, num_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# Events: as-of join (latest prior purchase per event) — custom temporal
+# join operator, oracle = DuckDB native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_asof_purchase",
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts,
+           CAST(trunc(p.value * 100) AS BIGINT) / 100.0 AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def events_asof_purchase(sf_dir: str):
+    """For every non-purchase event, the user's latest purchase at or
+    before it (stages/asof.py: bucketed cogroup + vectorized running
+    last-right merge; inner semantics — events before any purchase
+    drop)."""
+    from .stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def split(want_purchase: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], "purchase")
+            t = batch.filter(m if want_purchase else pc.invert(m))
+            return t.drop_columns(["event_type"])
+
+        return fn
+
+    left = ev.map_batches(split(False), batch_format="pyarrow") \
+             .drop_columns(["value"])
+    right = ev.map_batches(split(True), batch_format="pyarrow") \
+              .drop_columns(["event_id"])
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_cols=["ts", "value"], num_buckets=32,
+                    prefix="p_")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        def s(col):
+            # Arrow %S includes fractional seconds on sub-second
+            # types; render then slice to seconds precision
+            return pc.utf8_slice_codeunits(
+                pc.strftime(col, format="%Y-%m-%d %H:%M:%S"), 0, 19)
+
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": s(batch["ts"]),
+            "last_purchase_ts": s(batch["p_ts"]),
+            "last_purchase_value": pc.divide(
+                pc.cast(pc.trunc(pc.multiply(batch["p_value"],
+                                             pa.scalar(100.0))), pa.int64())
+                .cast(pa.float64()), pa.scalar(100.0)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")

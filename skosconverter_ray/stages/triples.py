@@ -9,6 +9,9 @@ keyed on a single content-hash column so Ray hash-partitions evenly.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,20 +34,40 @@ def _key_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("_key", key)
 
 
-def dedup_triples(triples_ds):
+def _first_per_key(t: pa.Table) -> pa.Table:
+    """Vectorized 'min source_doc row per _key' (deterministic witness):
+    sort by (_key, source_doc), keep each run's head."""
+    sort_keys = [("_key", "ascending")]
+    if "source_doc" in t.column_names:
+        sort_keys.append(("source_doc", "ascending"))
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    keys = np.asarray(t["_key"].to_pylist(), dtype=object)
+    head = np.concatenate(([True], keys[1:] != keys[:-1]))
+    return t.filter(pa.array(head))
+
+
+def dedup_triples(triples_ds, *, num_buckets: int = 64):
     """RDF set semantics: identical triples collapse to one row
-    (rdflib ``graph.add`` dedup, SURVEY.md U4).
+    (rdflib ``graph.add`` dedup, SURVEY.md U4); the surviving row's
+    ``source_doc`` is the min over duplicates (deterministic witness).
 
-    Shuffle on the composite key; first row per group wins (rows in a
-    group are identical on all key fields, so 'first' is deterministic
-    for the key fields; source_doc keeps an arbitrary witness)."""
-    keyed = triples_ds.map_batches(_key_batch, batch_format="pyarrow")
+    Two-phase: vectorized per-batch pre-dedup (shrinks the shuffle),
+    then ONE groupby over ``crc32(_key) % num_buckets`` cogroups with a
+    vectorized per-bucket dedup — O(num_buckets) Python calls, never
+    one per distinct triple (a groupby(_key).map_groups costs a Python
+    call per group and groups here are almost all singletons)."""
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def local(batch: pa.Table) -> pa.Table:
+        t = _first_per_key(_key_batch(batch))
+        buckets = pa.array(
+            [zlib.crc32(k.encode()) % num_buckets
+             for k in t["_key"].to_pylist()], pa.int32())
+        return t.append_column("_bucket", buckets)
 
-    out = keyed.groupby("_key").map_groups(first, batch_format="pyarrow")
-    return out.drop_columns(["_key"])
+    keyed = triples_ds.map_batches(local, batch_format="pyarrow")
+    out = keyed.groupby("_bucket").map_groups(
+        lambda g: _first_per_key(g), batch_format="pyarrow")
+    return out.drop_columns(["_key", "_bucket"])
 
 
 def inverse_consistency(triples_ds):

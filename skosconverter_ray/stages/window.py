@@ -1,0 +1,89 @@
+"""Gap-based session windows — a windowed-aggregate custom operator.
+
+Ray Data has no event-time window primitive, so sessionization is
+composed per SURVEY.md §2's custom-operator recipe (a):
+``map_batches`` bucketing + ``groupby().map_groups`` with a fully
+vectorized per-group body.
+
+Partitioning assumption (documented per the build rules): all rows of
+one user fit in one group. Users are bucketed ``user_id % B`` so the
+shuffle produces B cogroups (not one tiny group per user); inside a
+bucket the session logic is numpy over the lexsorted (user, ts) rows —
+no Python loop over rows. B bounds per-task input to |events|/B; at
+skewed-user scale, a single pathological user still lands in one task
+— cap with an upstream per-(user, day) pre-split if that ever binds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
+               num_buckets: int = 32):
+    """events (user_id:int, ts:timestamp, value:double) ->
+    (user_id, sess, n_events, total_value, session_start, session_end).
+
+    ``sess`` is the 0-based session ordinal per user (a new session
+    starts when the gap to the previous event exceeds ``gap_s``).
+    ``total_value`` sums integer cents (exact, order-independent);
+    start/end are second-truncated strings.
+    """
+    gap_us = np.int64(gap_s * 1_000_000)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
+                                pa.int32()),
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
+                                              pa.scalar(100.0))),
+                         pa.int64()),
+        })
+
+    def sessions(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s, v_s = u[order], ts[order], v[order]
+
+        user_change = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gap_break = np.concatenate(
+            ([False], (ts_s[1:] - ts_s[:-1]) > gap_us)) & ~user_change
+        seg_start = user_change | gap_break
+        seg = np.cumsum(seg_start) - 1              # global session id
+        # per-user ordinal: seg minus the seg value at the user's head
+        head_seg = np.where(user_change, seg, 0)
+        head_seg = np.maximum.accumulate(head_seg)
+        sess = seg - head_seg
+
+        starts = np.flatnonzero(seg_start)
+        ends = np.concatenate((starts[1:], [len(seg)]))
+        n = ends - starts
+        total = np.add.reduceat(v_s, starts)
+        t_start = ts_s[starts]
+        t_end = ts_s[ends - 1]
+
+        def fmt(xs):
+            arr = xs.astype("datetime64[us]").astype("datetime64[s]")
+            return np.char.replace(
+                np.datetime_as_string(arr, unit="s"), "T", " ").tolist()
+
+        return pa.table({
+            "user_id": pa.array(u_s[starts], pa.int64()),
+            "sess": pa.array(sess[starts], pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "total_value": pa.array(total / 100.0, pa.float64()),
+            "session_start": pa.array(fmt(t_start), pa.string()),
+            "session_end": pa.array(fmt(t_end), pa.string()),
+        })
+
+    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(sessions,
+                                                batch_format="pyarrow")
