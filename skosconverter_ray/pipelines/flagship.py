@@ -72,15 +72,32 @@ def _vocab_subgraph(vocab_triples: pa.Table) -> dict[str, list[tuple]]:
 
 
 class EmitTriples:
-    """mentions batch -> triples batch (actor pool; subgraph broadcast
-    loaded once per actor in ``__init__``)."""
+    """mentions batch -> triples batch.
+
+    Usable both as an actor-pool class (``map_batches(EmitTriples,
+    fn_constructor_args=...)``) and as a serialized task callable: the
+    broadcast subgraph rides as an ObjectRef (tiny to ship) and is
+    ray.get-resolved lazily on first use in the worker — never
+    materialized into the serialized closure."""
 
     def __init__(self, subgraph_ref, doc_ns: str):
-        import ray
-
-        self.sub = (ray.get(subgraph_ref)
-                    if isinstance(subgraph_ref, ray.ObjectRef) else subgraph_ref)
+        self._ref = subgraph_ref
+        self._sub = None
         self.doc_ns = doc_ns
+
+    @property
+    def sub(self):
+        if self._sub is None:
+            import ray
+
+            self._sub = (ray.get(self._ref)
+                         if isinstance(self._ref, ray.ObjectRef)
+                         else self._ref)
+        return self._sub
+
+    def __getstate__(self):
+        # never pickle the resolved dict into task closures
+        return {"_ref": self._ref, "_sub": None, "doc_ns": self.doc_ns}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import schemas
@@ -133,19 +150,46 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
     import ray
     import ray.data as rd
 
-    index_ref = ray.put(build_label_index(vocab_triples))
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    label_index = build_label_index(vocab_triples)
+    index_ref = ray.put(label_index)
     sub_ref = ray.put(_vocab_subgraph(vocab_triples))
 
+    # CPU budgeting: fixed full-width actor pools live-lock — actors
+    # RESERVE their CPUs, and two full-width pools plus the downstream
+    # shuffle tasks starve each other (observed: 4+4 actors on 8 CPUs
+    # = zero progress). So (a) only the linker is an actor pool; the
+    # triple emission runs as elastic tasks (its state is the broadcast
+    # subgraph ref, cheap to re-get per task), and (b) the pool
+    # AUTOSCALES between 1 and (cpus - 2): linking dominates the
+    # pipeline's compute, so it deserves nearly the full width, and
+    # autoscaling releases actors when the pool idles so the dedup
+    # shuffle gets the CPUs back (a fixed half-width pool left ~45% of
+    # the cluster idle in the 16-cpu utilization trace).
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # min = half width (autoscale-up hysteresis otherwise idles the
+    # pool at 1 actor on narrow sessions), max = width - 2
+    pool = (max(1, total_cpus // 2), max(2, total_cpus - 2))
+    # physical-plan choice, measured at 1M docs: on WIDE sessions a
+    # small index runs best as elastic tasks (full-width scheduling;
+    # 16 cpus: 42s tasks vs 63s pool), on NARROW ones the actor pool
+    # wins via stage overlap (4 cpus: 118s pool vs 261s fused tasks).
+    # A big index always uses the pool (per-worker load amortization).
+    link_concurrency = (None if len(label_index) < 50_000
+                        and total_cpus >= 8 else pool)
+
     mentions = link_documents(docs_ds, index_ref,
-                              concurrency=concurrency, batch_size=batch_size)
+                              concurrency=link_concurrency,
+                              batch_size=batch_size)
+    emit = EmitTriples(sub_ref, doc_ns)
     triples = mentions.map_batches(
-        EmitTriples,
-        fn_constructor_args=(sub_ref, doc_ns),
+        emit,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
-    triples = dedup_triples(triples)
+    triples = dedup_triples(triples, coalesce=True)
 
     vocab_ds = rd.from_arrow(vocab_triples)
     canon = canonical_map(vocab_ds, preferred_ns=preferred_ns)

@@ -17,7 +17,11 @@ from ..stages.triples import inverse_consistency
 
 
 def tree_rows_pipeline(triples_ds, cfg: EngineConfig | None = None):
-    closed = inverse_consistency(triples_ds)
+    from ..stages.triples import dedup_triples
+
+    # U4 set semantics first; the closure's edge anti-join assumes a
+    # deduped input (stages/triples.py inverse_consistency)
+    closed = inverse_consistency(dedup_triples(triples_ds))
     return build_tree_rows(closed, cfg)
 
 

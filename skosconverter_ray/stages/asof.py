@@ -35,6 +35,9 @@ def asof_join(left_ds, right_ds, *, key: str, ts: str,
     ``key`` must be integer-typed on both sides; ``ts`` must be
     timestamp or numeric and identically typed.
     """
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
     left_schema = left_ds.schema()
     l_names = list(left_schema.names)
     l_types = list(left_schema.types)

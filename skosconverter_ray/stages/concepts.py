@@ -54,18 +54,17 @@ def _uri_tail(uri: str) -> str:
     return uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
 
 
-def pivot_concepts(triples_ds, cfg: EngineConfig | None = None):
+def pivot_concepts(triples_ds, cfg: EngineConfig | None = None,
+                   *, num_buckets: int = 32):
     """triples Dataset -> concepts wide Dataset (schema CONCEPTS plus
-    ``is_scheme``). The one corpus-wide shuffle is the groupby on subj."""
+    ``is_scheme``). The one wide shuffle is a groupby on
+    ``crc32(subj) % num_buckets``: all of one subject's rows land in
+    one cogroup (like a groupby(subj)) but the per-group Python cost is
+    paid num_buckets times, not once per concept."""
     cfg = cfg or EngineConfig()
 
-    def per_group(group: pa.Table) -> pa.Table:
-        subj = group["subj"][0].as_py()
-        rows = sorted(
-            zip(group["pred"].to_pylist(), group["obj"].to_pylist(),
-                group["lang"].to_pylist()),
-            key=lambda r: (r[0], r[2] or "", r[1]),
-        )
+    def per_subject(subj: str, rows: list[tuple]) -> pa.Table:
+        rows = sorted(rows, key=lambda r: (r[0], r[2] or "", r[1]))
         is_concept = is_scheme = is_top = False
         pref_cands: list[tuple[int, str, str]] = []  # (lang_rank, label, lang)
         alt, hidden, same_as, related, defs, scopes, notations = \
@@ -131,5 +130,27 @@ def pivot_concepts(triples_ds, cfg: EngineConfig | None = None):
             "is_scheme": pa.array([is_scheme], pa.bool_()),
         })
 
-    return triples_ds.groupby("subj").map_groups(
-        per_group, batch_format="pyarrow")
+    import zlib
+
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pa.array([zlib.crc32(s.encode()) % num_buckets
+                      for s in batch["subj"].to_pylist()], pa.int32())
+        return batch.append_column("_bucket", b)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        by_subj: dict[str, list[tuple]] = {}
+        for s, p, o, lang in zip(group["subj"].to_pylist(),
+                                 group["pred"].to_pylist(),
+                                 group["obj"].to_pylist(),
+                                 group["lang"].to_pylist()):
+            by_subj.setdefault(s, []).append((p, o, lang))
+        tables = [per_subject(s, rows)
+                  for s, rows in sorted(by_subj.items())]
+        return pa.concat_tables(tables)
+
+    bucketed = triples_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow")

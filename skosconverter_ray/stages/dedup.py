@@ -219,7 +219,10 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     """
     from ray.data.aggregate import Count
 
+    from ..config import use_hash_shuffle
     from .joinutil import cogroup_join
+
+    use_hash_shuffle()
 
     index = docs_ds.map_batches(
         MinHashStage, fn_constructor_args=(text_col, id_col),

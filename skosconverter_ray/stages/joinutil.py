@@ -37,6 +37,9 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
                  num_buckets: int = 32, join_type: str = "inner"):
     """Join two Datasets on single key columns. Column sets of the two
     sides must be disjoint apart from the keys (rename upstream)."""
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     l_fields = list(zip(left_schema.names, left_schema.types))

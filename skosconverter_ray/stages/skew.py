@@ -41,6 +41,9 @@ def salted_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
     but skew-resistant."""
     from ray.data.aggregate import Max, Min, Sum
 
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
     for op, _, _ in specs:
         if op not in _ALGEBRAIC:
             raise ValueError(f"non-algebraic aggregate {op!r} cannot be salted")

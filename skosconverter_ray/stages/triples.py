@@ -9,7 +9,7 @@ keyed on a single content-hash column so Ray hash-partitions evenly.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -34,81 +34,166 @@ def _key_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("_key", key)
 
 
-def _first_per_key(t: pa.Table) -> pa.Table:
-    """Vectorized 'min source_doc row per _key' (deterministic witness):
-    sort by (_key, source_doc), keep each run's head."""
-    sort_keys = [("_key", "ascending")]
-    if "source_doc" in t.column_names:
-        sort_keys.append(("source_doc", "ascending"))
-    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-    keys = np.asarray(t["_key"].to_pylist(), dtype=object)
-    head = np.concatenate(([True], keys[1:] != keys[:-1]))
-    return t.filter(pa.array(head))
+def _hash_key_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Append (_h1, _h2, _bucket): a 126-bit blake2b content identity
+    of (subj, pred, obj, lit, lang) as two int64 columns. Integer keys
+    keep the per-bucket dedup a pure numpy lexsort — no Python-object
+    string comparisons — and the collision odds at corpus scale
+    (~2^-60 for 10^12 distinct triples) are far below hardware error
+    rates."""
+    keyed = _key_batch(batch)
+    h1 = np.empty(keyed.num_rows, dtype=np.int64)
+    h2 = np.empty(keyed.num_rows, dtype=np.int64)
+    for i, k in enumerate(keyed["_key"].to_pylist()):
+        d = hashlib.blake2b(k.encode(), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "big") >> 1
+        h2[i] = int.from_bytes(d[8:], "big") >> 1
+    t = batch.append_column("_h1", pa.array(h1, pa.int64()))
+    t = t.append_column("_h2", pa.array(h2, pa.int64()))
+    return t.append_column(
+        "_bucket", pa.array((h1 % num_buckets).astype(np.int32), pa.int32()))
 
 
-def dedup_triples(triples_ds, *, num_buckets: int = 64):
+def _first_per_hash(t: pa.Table) -> pa.Table:
+    """Min-source_doc row per (_h1,_h2): numpy lexsort over the int
+    keys, run detection, and a Python tiebreak only on the (rare)
+    duplicate runs."""
+    if t.num_rows == 0:
+        return t
+    h1 = t["_h1"].to_numpy(zero_copy_only=False)
+    h2 = t["_h2"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    head = np.concatenate(
+        ([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])))
+    keep = order[head].copy()
+    if not head.all() and "source_doc" in t.column_names:
+        docs = t["source_doc"].to_pylist()
+        starts = np.flatnonzero(head)
+        ends = np.concatenate((starts[1:], [len(order)]))
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            if e - s > 1:
+                run = order[s:e]
+                keep[ri] = min(run, key=lambda i: (docs[i] is None,
+                                                   docs[i], i))
+    return t.take(pa.array(np.sort(keep), pa.int64()))
+
+
+def dedup_triples(triples_ds, *, num_buckets: int = 64,
+                  coalesce: bool = False):
     """RDF set semantics: identical triples collapse to one row
     (rdflib ``graph.add`` dedup, SURVEY.md U4); the surviving row's
     ``source_doc`` is the min over duplicates (deterministic witness).
 
     Two-phase: vectorized per-batch pre-dedup (shrinks the shuffle),
-    then ONE groupby over ``crc32(_key) % num_buckets`` cogroups with a
-    vectorized per-bucket dedup — O(num_buckets) Python calls, never
-    one per distinct triple (a groupby(_key).map_groups costs a Python
-    call per group and groups here are almost all singletons)."""
+    then ONE groupby over ``_h1 % num_buckets`` cogroups with a numpy
+    per-bucket dedup — O(num_buckets) Python calls, never one per
+    distinct triple, and no Python-object comparisons in the sort."""
 
     def local(batch: pa.Table) -> pa.Table:
-        t = _first_per_key(_key_batch(batch))
-        buckets = pa.array(
-            [zlib.crc32(k.encode()) % num_buckets
-             for k in t["_key"].to_pylist()], pa.int32())
-        return t.append_column("_bucket", buckets)
+        return _first_per_hash(_hash_key_batch(batch, num_buckets))
 
     keyed = triples_ds.map_batches(local, batch_format="pyarrow")
+    if coalesce:
+        # bound the block count entering the shuffle: sort-shuffle
+        # transfer cost grows with map_blocks x reduce_partitions, and
+        # a wide upstream (hundreds of small map outputs) makes the
+        # groupby quadratic-ish (measured at 32 cpus over 1.5M triples:
+        # 512-block input 28s vs 64-block 13s). Only worth the extra
+        # exchange on corpus-scale inputs — callers opt in.
+        keyed = keyed.repartition(num_buckets)
     out = keyed.groupby("_bucket").map_groups(
-        lambda g: _first_per_key(g), batch_format="pyarrow")
-    return out.drop_columns(["_key", "_bucket"])
+        _first_per_hash, batch_format="pyarrow")
+    return out.drop_columns(["_h1", "_h2", "_bucket"])
 
 
-def inverse_consistency(triples_ds):
+def inverse_consistency(triples_ds, *, assume_deduped: bool = True,
+                        num_buckets: int = 32):
     """Emit the inverse of every hierarchical edge and the mirror of
-    every symmetric edge, then dedup — a one-pass, idempotent closure.
+    every symmetric edge — an idempotent closure.
 
     broader⇔narrower + hasTopConcept⇔topConceptOf per INVERSE_PAIRS;
-    related / exactMatch / sameAs mirrored per SYMMETRIC_PREDS. The
-    pass is a per-batch flat emission (no shuffle) followed by the
-    dedup shuffle.
-    """
+    related / exactMatch / sameAs mirrored per SYMMETRIC_PREDS.
+
+    With ``assume_deduped`` (the flagship path — dedup_triples runs
+    upstream), the pass never re-shuffles the full graph: only the
+    EDGE SUBSET (hierarchical + symmetric, a small fraction of a real
+    graph's rows) is flipped, bucket-cogrouped against the original
+    edge set, and the flips not already present are unioned back.
+    Distinct deduped edges flip to distinct edges, so the anti-join on
+    the edge keys is the whole dedup. With ``assume_deduped=False``
+    the closure falls back to flip-everything + full dedup."""
     inv_map = dict(INVERSE_PAIRS)
     sym = set(SYMMETRIC_PREDS)
 
-    def emit(batch: pa.Table) -> pa.Table:
+    def edge_mask(batch: pa.Table):
         preds = batch["pred"]
         mask_inv = pc.is_in(preds, value_set=pa.array(list(inv_map)))
         mask_sym = pc.is_in(preds, value_set=pa.array(list(sym)))
-        mask = pc.and_(pc.or_(mask_inv, mask_sym),
+        return pc.and_(pc.or_(mask_inv, mask_sym),
                        pc.invert(batch["obj_is_literal"]))
-        flipped = batch.filter(mask)
-        if flipped.num_rows:
-            new_pred = pa.array(
-                [inv_map.get(p, p) for p in flipped["pred"].to_pylist()],
-                pa.string(),
-            )
-            flipped = pa.table(
-                {
-                    "subj": flipped["obj"],
-                    "pred": new_pred,
-                    "obj": flipped["subj"],
-                    "obj_is_literal": flipped["obj_is_literal"],
-                    "lang": flipped["lang"],
-                    "source_doc": flipped["source_doc"],
-                },
-                schema=batch.schema,
-            )
-            return pa.concat_tables([batch, flipped])
-        return batch
 
-    return dedup_triples(triples_ds.map_batches(emit, batch_format="pyarrow"))
+    def flip(t: pa.Table, schema: pa.Schema) -> pa.Table:
+        new_pred = pa.array(
+            [inv_map.get(p, p) for p in t["pred"].to_pylist()],
+            pa.string())
+        return pa.table(
+            {"subj": t["obj"], "pred": new_pred, "obj": t["subj"],
+             "obj_is_literal": t["obj_is_literal"], "lang": t["lang"],
+             "source_doc": t["source_doc"]},
+            schema=schema)
+
+    if not assume_deduped:
+        def emit(batch: pa.Table) -> pa.Table:
+            flipped = batch.filter(edge_mask(batch))
+            if flipped.num_rows:
+                return pa.concat_tables(
+                    [batch, flip(flipped, batch.schema)])
+            return batch
+
+        return dedup_triples(
+            triples_ds.map_batches(emit, batch_format="pyarrow"))
+
+    # The union below consumes triples_ds through TWO lineages; left
+    # lazy, the streaming executor would execute the entire upstream
+    # chain twice CONCURRENTLY (two copies of any actor-pool stage =
+    # CPU starvation; observed as a full stall at 8 cpus). This is a
+    # natural stage boundary (the checkpoint sits here too), so pin it.
+    triples_ds = triples_ds.materialize()
+
+    # edge-only anti-join path: rows tagged 0 = existing edge,
+    # 1 = flipped candidate; a flip survives iff no existing edge in
+    # its bucket shares its content hash
+    def edges_tagged(batch: pa.Table) -> pa.Table:
+        e = batch.filter(edge_mask(batch))
+        if e.num_rows == 0:
+            e = batch.schema.empty_table()
+        f = flip(e, batch.schema) if e.num_rows else e
+        both = pa.concat_tables([e, f]) if e.num_rows else e
+        tag = pa.array([0] * e.num_rows + [1] * (both.num_rows - e.num_rows),
+                       pa.int8())
+        keyed = _hash_key_batch(both, num_buckets)
+        return keyed.append_column("_flip", tag)
+
+    def survivors(group: pa.Table) -> pa.Table:
+        h1 = group["_h1"].to_numpy(zero_copy_only=False)
+        h2 = group["_h2"].to_numpy(zero_copy_only=False)
+        fl = group["_flip"].to_numpy(zero_copy_only=False)
+        existing = set(zip(h1[fl == 0].tolist(), h2[fl == 0].tolist()))
+        keep_idx, seen = [], set()
+        for i in np.flatnonzero(fl == 1):
+            key = (int(h1[i]), int(h2[i]))
+            if key not in existing and key not in seen:
+                seen.add(key)
+                keep_idx.append(i)
+        t = group.take(pa.array(keep_idx, pa.int64()))
+        return t.drop_columns(["_h1", "_h2", "_bucket", "_flip"])
+
+    new_edges = (triples_ds
+                 .map_batches(edges_tagged, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(survivors, batch_format="pyarrow"))
+    return triples_ds.union(new_edges)
 
 
 def triple_counts(triples_ds):

@@ -31,6 +31,9 @@ def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
     ``total_value`` sums integer cents (exact, order-independent);
     start/end are second-truncated strings.
     """
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
     gap_us = np.int64(gap_s * 1_000_000)
 
     def bucket(batch: pa.Table) -> pa.Table:
