@@ -959,3 +959,41 @@ def events_asof_purchase(sf_dir: str):
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Supplier x nation: cogroup-join operator under a SQL oracle (J1-style
+# dimension join via the engine's bucket-cogroup hash join)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "supplier_nation_join",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(trunc(s.s_acctbal * 100) AS BIGINT) / 100.0 AS acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def supplier_nation_join(sf_dir: str):
+    """Dimension join through stages/joinutil.cogroup_join — the
+    engine's robust hash join (Ray's native Dataset.join crashes on
+    empty partitions; see joinutil docstring)."""
+    from .stages.joinutil import cogroup_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name",
+                                     "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = cogroup_join(sup, nat, left_on="s_nationkey",
+                          right_on="n_nationkey", num_buckets=8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"],
+            "s_name": batch["s_name"],
+            "n_name": batch["n_name"],
+            "acctbal": pc.divide(
+                pc.cast(_to_cents(batch["s_acctbal"]), pa.float64()),
+                pa.scalar(100.0)),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")

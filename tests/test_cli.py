@@ -1,0 +1,73 @@
+"""CLI surface tests (reference subcommands on the Ray engine)."""
+
+import os
+
+import pytest
+
+import ray.data as rd
+
+from skosconverter_ray import cli, vocab
+from skosconverter_ray.sources.ntriples import to_ntriples_text
+
+
+@pytest.fixture(scope="module")
+def nt_file(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=1, n_concepts=10,
+                                               seed=5))
+    p = d / "vocab.nt"
+    p.write_text(to_ntriples_text(rd.from_arrow(voc.triples)))
+    return str(p)
+
+
+def test_all_sinks(nt_file, tmp_path):
+    for cmd, ext in (("to-csv", "csv"), ("to-markdown", "markdown"),
+                     ("to-json", "json"), ("to-xml", "xml")):
+        out = str(tmp_path / f"v.{ext}")
+        cli.main([cmd, nt_file, "--skip-validation", "-o", out])
+        text = open(out).read()
+        assert text.strip()
+    csv_head = open(str(tmp_path / "v.csv")).read().splitlines()[0]
+    assert csv_head == ("Title,Parent,Concept Scheme,Definition,"
+                        "Alternative Labels,Notation,URI,Level")
+
+
+def test_to_skos_roundtrip(nt_file, tmp_path):
+    md = str(tmp_path / "v.md")
+    cli.main(["to-markdown", nt_file, "--skip-validation", "-o", md])
+    back = str(tmp_path / "back.nt")
+    cli.main(["to-skos", md, "-o", back,
+              "--namespace", "http://example.org/vocab/"])
+    lines = [l for l in open(back).read().splitlines() if l.strip()]
+    assert len(lines) > 10
+    # D3 fixed: original URIs survive the round trip
+    orig_subjects = {l.split(" ", 1)[0] for l in open(nt_file).read()
+                     .splitlines() if l.strip()}
+    back_subjects = {l.split(" ", 1)[0] for l in lines}
+    assert orig_subjects & back_subjects
+
+
+def test_validation_gate_runs(nt_file, tmp_path):
+    out = str(tmp_path / "gated.csv")
+    cli.main(["to-csv", nt_file, "-o", out])  # no --skip-validation
+    assert os.path.exists(out)
+
+
+def test_batch_dir(nt_file, tmp_path):
+    bdir = tmp_path / "batch"
+    bdir.mkdir()
+    content = open(nt_file).read()
+    for i in range(3):
+        (bdir / f"v{i}.nt").write_text(content)
+    # malformed lines are SKIPPED by the lenient parser (a bad line
+    # must not kill a 100TB job) -> still converts, possibly empty
+    (bdir / "broken.nt").write_text("<a <b .")
+    # an unreadable path exercises the log-and-continue error branch
+    # (ref BatchProcessor 497-499)
+    (bdir / "unreadable.nt").mkdir()
+    outd = tmp_path / "out"
+    cli.main(["to-csv", "--batch-dir", str(bdir), "--output-dir",
+              str(outd), "--skip-validation"])
+    done = sorted(os.listdir(outd))
+    assert "unreadable.csv" not in done
+    assert {"v0.csv", "v1.csv", "v2.csv", "broken.csv"} <= set(done)
