@@ -266,6 +266,16 @@ def top_orders_by_revenue(sf_dir: str):
             ["o_orderkey", "o_orderstatus", "revenue"])
 
     out = joined.map_batches(fin, batch_format="pyarrow")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-block partial top-k: the global sort then only ranks
+        # blocks x k rows instead of the full join output
+        idx = pc.sort_indices(
+            batch, sort_keys=[("revenue", "descending"),
+                              ("o_orderkey", "ascending")])
+        return batch.take(idx[:10])
+
+    out = out.map_batches(local_topk, batch_format="pyarrow")
     return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
 

@@ -92,29 +92,55 @@ def band_keys(sig: np.ndarray) -> list[int]:
     return out
 
 
+# vectorized band-key mixing constants (odd multipliers per band row)
+_BAND_MIX = (np.arange(1, ROWS_PER_BAND + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+
+
 class MinHashStage:
-    """documents batch -> one row per (doc, band): the LSH index rows,
-    plus a side shingle table is produced by `shingles_batch`. Pure
-    function of the text; stateless, but kept as a class so perm params
-    are materialized once per actor, not per batch."""
+    """documents batch -> one row per (doc, band): the LSH index rows;
+    the side shingle table comes from `shingles_batch`.
+
+    Fully batch-vectorized: all docs' shingles are concatenated, the
+    (N_PERM x total_shingles) permutation matrix is computed once, and
+    per-doc minima come from ``np.minimum.reduceat`` over the doc
+    offsets; band keys mix the 4 rows per band with odd multipliers
+    (one matmul, no per-doc hashing)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for i, t in enumerate(batch[self.text_col].to_pylist()):
-            sig = minhash_signature(shingle_set(t or ""))
-            for b, k in enumerate(band_keys(sig)):
-                ids.append(i)
-                bands.append(b)
-                keys.append(k)
-        id_arr = batch[self.id_col].take(pa.array(ids, pa.int64()))
+        sets = [shingle_set(t or "")
+                for t in batch[self.text_col].to_pylist()]
+        counts = np.array([s.size for s in sets], dtype=np.int64)
+        n_docs = len(sets)
+        if n_docs == 0:
+            return pa.table({"doc_id": batch[self.id_col],
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64())})
+        nonempty = counts > 0
+        sigs = np.full((n_docs, N_PERM), 0xFFFFFFFF, dtype=np.uint64)
+        if nonempty.any():
+            xs = np.concatenate([s for s in sets if s.size])
+            offs = np.concatenate(
+                ([0], np.cumsum(counts[nonempty])))[:-1]
+            # (N_PERM, total): a,b,x < 2^32 so a*x+b fits in uint64
+            m = (_A[:, None] * xs[None, :] + _B[:, None]) % _PRIME
+            mins = np.minimum.reduceat(m, offs, axis=1)  # (N_PERM, nd)
+            sigs[nonempty] = (mins.T & _MAX32)
+        # band keys: (n_docs, N_BANDS, ROWS_PER_BAND) rows mixed down
+        grouped = sigs.reshape(n_docs, N_BANDS, ROWS_PER_BAND)
+        keys = (grouped * _BAND_MIX[None, None, :]).sum(axis=2)
+        keys = ((keys ^ (keys >> np.uint64(31)))
+                & np.uint64((1 << 63) - 1)).astype(np.int64)
+        take = np.repeat(np.arange(n_docs, dtype=np.int64), N_BANDS)
         return pa.table({
-            "doc_id": id_arr,
-            "band": pa.array(bands, pa.int32()),
-            "key": pa.array(keys, pa.int64()),
+            "doc_id": batch[self.id_col].take(pa.array(take)),
+            "band": pa.array(
+                np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs)),
+            "key": pa.array(keys.reshape(-1)),
         })
 
 
@@ -224,25 +250,41 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 
     use_hash_shuffle()
 
+    # stateless stage -> elastic tasks (no pool to size)
     index = docs_ds.map_batches(
-        MinHashStage, fn_constructor_args=(text_col, id_col),
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+        MinHashStage(text_col, id_col),
+        batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs(index, num_buckets=num_partitions * 4)
     # a pair surfacing in k bands appears k times -> dedup on the pair
     cand = (cand.groupby(["doc_a", "doc_b"])
                 .aggregate(Count(alias_name="_n"))
                 .drop_columns(["_n"]))
 
+    # materialized once: BOTH join sides below read it, and a lazy
+    # dataset would be recomputed per consumer by the streaming
+    # executor (shingle blobs are ~1KB/doc — cheap to pin)
     sh = docs_ds.map_batches(
         lambda b: shingles_batch(b, text_col, id_col),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=512).materialize()
+    names = docs_ds.schema().names  # parquet metadata only — cheap
+    id_type = docs_ds.schema().types[names.index(id_col)]
+    pair_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
+    sh_a_schema = pa.schema([("_id_a", id_type), ("shingles_a", pa.binary())])
+    sh_b_schema = pa.schema([("_id_b", id_type), ("shingles_b", pa.binary())])
+
     sh_a = sh.rename_columns({"doc_id": "_id_a", "shingles": "shingles_a"})
     sh_b = sh.rename_columns({"doc_id": "_id_b", "shingles": "shingles_b"})
+    # schemas passed explicitly: .schema() on the lazy join output
+    # would re-execute join #1 just to infer types
     joined = cogroup_join(cand, sh_a, left_on="doc_a", right_on="_id_a",
-                          num_buckets=num_partitions)
+                          num_buckets=num_partitions,
+                          left_schema=pair_schema, right_schema=sh_a_schema)
     joined = joined.drop_columns(["_id_a"])
+    j1_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                           ("shingles_a", pa.binary())])
     joined = cogroup_join(joined, sh_b, left_on="doc_b", right_on="_id_b",
-                          num_buckets=num_partitions)
+                          num_buckets=num_partitions,
+                          left_schema=j1_schema, right_schema=sh_b_schema)
     joined = joined.drop_columns(["_id_b"])
     return joined.map_batches(
         lambda b: exact_jaccard_batch(b, threshold=threshold),

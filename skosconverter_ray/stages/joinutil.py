@@ -34,14 +34,26 @@ def _bucket_of(values, n_buckets: int) -> pa.Array:
 
 
 def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
-                 num_buckets: int = 32, join_type: str = "inner"):
+                 num_buckets: int = 32, join_type: str = "inner",
+                 left_schema: pa.Schema | None = None,
+                 right_schema: pa.Schema | None = None):
     """Join two Datasets on single key columns. Column sets of the two
-    sides must be disjoint apart from the keys (rename upstream)."""
+    sides must be disjoint apart from the keys (rename upstream).
+
+    Pass ``left_schema``/``right_schema`` whenever the side is a LAZY
+    dataset: ``Dataset.schema()`` on a lazy pipeline executes a partial
+    pass of its whole upstream to infer types, so a chain of two
+    cogroup_joins would re-execute join #1 once just to get its schema.
+    """
     from ..config import use_hash_shuffle
     use_hash_shuffle()
 
-    left_schema = left_ds.schema()
-    right_schema = right_ds.schema()
+    if left_schema is None:
+        left_schema = pa.schema(
+            list(zip(left_ds.schema().names, left_ds.schema().types)))
+    if right_schema is None:
+        right_schema = pa.schema(
+            list(zip(right_ds.schema().names, right_ds.schema().types)))
     l_fields = list(zip(left_schema.names, left_schema.types))
     r_fields = [(n, t) for n, t in zip(right_schema.names, right_schema.types)]
     union_fields = l_fields + [(n, t) for n, t in r_fields
