@@ -36,6 +36,24 @@ def _init_ray():
 
 
 def _read_triples(path: str):
+    """File-extension dispatch (ref M11, skos_converter.py:507-510,
+    1773-1786): .ttl -> Turtle subset, .json/.jsonld -> JSON-LD subset,
+    anything else -> N-Triples."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ttl":
+        from .sources.turtle import read_turtle
+
+        return read_turtle([path])
+    if ext in (".json", ".jsonld"):
+        import ray.data as rd
+
+        from .sources.jsonld import parse_jsonld_dataset
+
+        with open(path) as f:
+            text = f.read()
+        docs = rd.from_items([{"doc_id": os.path.basename(path),
+                               "text": text}])
+        return parse_jsonld_dataset(docs)
     from .sources.ntriples import read_ntriples
 
     return read_ntriples([path])
@@ -128,8 +146,11 @@ def main(argv=None):
 
     fmt = args.cmd.replace("to-", "")
     if args.batch_dir:
-        pattern = "*.md" if args.cmd == "to-skos" else "*.nt"
-        files = sorted(glob.glob(os.path.join(args.batch_dir, pattern)))
+        patterns = (["*.md"] if args.cmd == "to-skos"
+                    else ["*.nt", "*.ttl", "*.json", "*.jsonld"])
+        files = sorted(
+            f for pat in patterns
+            for f in glob.glob(os.path.join(args.batch_dir, pat)))
         os.makedirs(args.output_dir, exist_ok=True)
         failures = 0
         for fp in files:

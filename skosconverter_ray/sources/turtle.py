@@ -1,0 +1,214 @@
+"""Turtle subset reader (SURVEY.md S1; rdflib unavailable, §4.3).
+
+Covers what SKOS vocabularies in the wild and the reference's own
+serializer produce (skos_converter.py:548-564 reads via rdflib;
+1551-1583 writes rdflib turtle): ``@prefix``/``PREFIX`` declarations,
+prefixed names, ``a`` for rdf:type, ``;`` predicate lists, ``,`` object
+lists, plain/long literals with optional ``@lang`` tags, comments.
+Datatyped literals keep their lexical form (the reference never reads
+datatypes).
+
+Parallelism shape: Turtle is stateful per FILE (prefix table +
+statement continuations), so the file is the parallel unit — exactly
+the reference's batch-directory granularity (S9). Each file parses
+independently inside ``map_batches``; triples stream out as Arrow rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .. import schemas
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PREFIX_RE = re.compile(
+    r"^\s*@?[Pp][Rr][Ee][Ff][Ii][Xx]\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.?\s*$")
+_BASE_RE = re.compile(r"^\s*@?[Bb][Aa][Ss][Ee]\s+<([^>]*)>\s*\.?\s*$")
+
+# one term at the head of the remaining text
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        <(?P<uri>[^>]*)>
+      | (?P<a>a)(?=[\s;,.])
+      | (?P<pfx>[A-Za-z][A-Za-z0-9_.-]*)?:(?P<local>[A-Za-z0-9_.%-]*)
+      | \"\"\"(?P<long>(?:[^"\\]|\\.|"(?!""))*)\"\"\"
+      | \"(?P<lit>(?:[^"\\]|\\.)*)\"
+    )
+    (?:\^\^(?:<[^>]*>|[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*))?
+    (?:@(?P<lang>[A-Za-z0-9-]+))?
+    """, re.VERBOSE | re.DOTALL)
+
+_UNESC = {"\\n": "\n", "\\r": "\r", "\\t": "\t", '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\[nrt\"\\]", lambda m: _UNESC[m.group(0)], s)
+
+
+def _strip_comments(text: str) -> str:
+    """Drop # comments outside quoted literals AND <...> IRIs (most
+    namespace IRIs end in '#')."""
+    out = []
+    for line in text.splitlines():
+        res, in_q, in_uri, i = [], False, False, 0
+        while i < len(line):
+            c = line[i]
+            if c == '"' and not in_uri and (i == 0 or line[i - 1] != "\\"):
+                in_q = not in_q
+            elif c == "<" and not in_q:
+                in_uri = True
+            elif c == ">" and not in_q:
+                in_uri = False
+            if c == "#" and not in_q and not in_uri:
+                break
+            res.append(c)
+            i += 1
+        out.append("".join(res))
+    return "\n".join(out)
+
+
+def parse_turtle_doc(text: str) -> list[tuple]:
+    """One Turtle document -> [(subj, pred, obj, is_literal, lang)].
+
+    Unsupported constructs (blank-node property lists, collections)
+    raise ValueError — better a loud per-file error record than silent
+    triple loss.
+    """
+    prefixes: dict[str, str] = {}
+    triples: list[tuple] = []
+    body_lines = []
+    for line in _strip_comments(text).splitlines():
+        m = _PREFIX_RE.match(line)
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+            continue
+        if _BASE_RE.match(line):
+            continue
+        body_lines.append(line)
+    body = "\n".join(body_lines)
+
+    def expand(m: re.Match):
+        if m["uri"] is not None:
+            return ("uri", m["uri"], None)
+        if m["a"] is not None:
+            return ("uri", _RDF_TYPE, None)
+        if m["local"] is not None and (m["pfx"] is not None
+                                       or ":" in m.group(0)):
+            pfx = m["pfx"] or ""
+            if pfx not in prefixes:
+                raise ValueError(f"undeclared prefix {pfx!r}")
+            return ("uri", prefixes[pfx] + m["local"], None)
+        lit = m["long"] if m["long"] is not None else m["lit"]
+        return ("lit", _unescape(lit), m["lang"])
+
+    pos, n = 0, len(body)
+    while True:
+        # skip whitespace
+        while pos < n and body[pos].isspace():
+            pos += 1
+        if pos >= n:
+            break
+        if body[pos] in "[(":
+            raise ValueError("blank-node/collection syntax not supported")
+        m = _TERM_RE.match(body, pos)
+        if not m or m["lit"] is not None or m["long"] is not None:
+            raise ValueError(f"expected subject at offset {pos}: "
+                             f"{body[pos:pos+40]!r}")
+        kind, subj, _ = expand(m)
+        pos = m.end()
+        while True:  # predicate lists (;)
+            m = _TERM_RE.match(body, pos)
+            if not m:
+                raise ValueError(f"expected predicate at offset {pos}: "
+                                 f"{body[pos:pos+40]!r}")
+            _, pred, _ = expand(m)
+            pos = m.end()
+            while True:  # object lists (,)
+                m = _TERM_RE.match(body, pos)
+                if not m:
+                    raise ValueError(f"expected object at offset {pos}: "
+                                     f"{body[pos:pos+40]!r}")
+                okind, obj, lang = expand(m)
+                triples.append((subj, pred, obj, okind == "lit", lang))
+                pos = m.end()
+                while pos < n and body[pos].isspace():
+                    pos += 1
+                if pos < n and body[pos] == ",":
+                    pos += 1
+                    continue
+                break
+            if pos < n and body[pos] == ";":
+                pos += 1
+                # tolerate trailing ';' before '.'
+                look = pos
+                while look < n and body[look].isspace():
+                    look += 1
+                if look < n and body[look] == ".":
+                    pos = look
+                    continue
+                continue
+            break
+        if pos >= n or body[pos] != ".":
+            raise ValueError(f"expected '.' at offset {pos}: "
+                             f"{body[pos:pos+40]!r}")
+        pos += 1
+    return triples
+
+
+def triples_to_table(rows: list[tuple], source_doc: str | None) -> pa.Table:
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "source_doc": pa.array([source_doc] * len(rows), pa.string()),
+        },
+        schema=schemas.TRIPLES,
+    )
+
+
+def parse_turtle_dataset(docs_ds, *, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """(doc_id, text) Dataset of Turtle documents -> triples Dataset.
+    Per-file errors become zero rows + a warning (batch-directory
+    continue-on-error semantics, ref skos_converter.py:497-499)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import logging
+
+        tables = []
+        for doc_id, text in zip(batch[id_col].to_pylist(),
+                                batch[text_col].to_pylist()):
+            try:
+                tables.append(
+                    triples_to_table(parse_turtle_doc(text or ""), doc_id))
+            except ValueError as e:
+                logging.getLogger(__name__).warning(
+                    "turtle parse failed for %s: %s", doc_id, e)
+        if not tables:
+            return schemas.TRIPLES.empty_table()
+        return pa.concat_tables(tables)
+
+    return docs_ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_turtle(paths):
+    """Turtle file(s) -> triples Dataset (one parse task per file)."""
+    import ray.data as rd
+
+    def load(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["path"],
+            "text": pa.array([b.decode("utf-8", "replace") if b else ""
+                              for b in batch["bytes"].to_pylist()],
+                             pa.string()),
+        })
+
+    files = rd.read_binary_files(paths, include_paths=True)
+    return parse_turtle_dataset(
+        files.map_batches(load, batch_format="pyarrow"))

@@ -71,3 +71,21 @@ def test_batch_dir(nt_file, tmp_path):
     done = sorted(os.listdir(outd))
     assert "unreadable.csv" not in done
     assert {"v0.csv", "v1.csv", "v2.csv", "broken.csv"} <= set(done)
+
+
+def test_turtle_and_jsonld_inputs(tmp_path, ray_session):
+    import json
+
+    from tests.test_rdf_readers import JSONLD, TTL
+
+    ttl = tmp_path / "v.ttl"
+    ttl.write_text(TTL)
+    jld = tmp_path / "v.jsonld"
+    jld.write_text(json.dumps(JSONLD))
+    out_a = str(tmp_path / "a.csv")
+    out_b = str(tmp_path / "b.csv")
+    cli.main(["to-csv", str(ttl), "--skip-validation", "-o", out_a])
+    cli.main(["to-csv", str(jld), "--skip-validation", "-o", out_b])
+    # same vocabulary through two formats -> identical rendered CSV
+    assert open(out_a).read() == open(out_b).read()
+    assert "Dog" in open(out_a).read()

@@ -1,0 +1,115 @@
+"""Turtle / JSON-LD subset readers vs the known vocabulary triples."""
+
+import json
+
+import ray.data as rd
+
+from skosconverter_ray.sources.jsonld import parse_jsonld_doc, parse_jsonld_dataset
+from skosconverter_ray.sources.turtle import parse_turtle_doc, parse_turtle_dataset
+
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+TTL = """\
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix ex: <http://example.org/v/> .
+# a comment with a "quote" and skos:fake
+
+ex:scheme a skos:ConceptScheme ;
+    skos:prefLabel "Animals"@en ;
+    skos:hasTopConcept ex:dog, ex:cat .
+
+ex:dog a skos:Concept ;
+    skos:prefLabel "Dog"@en ;
+    skos:prefLabel "Hund"@de ;
+    skos:altLabel "Canine"@en ;
+    skos:definition \"\"\"Multi-line
+definition with "quotes".\"\"\"@en ;
+    skos:notation "D-1" ;
+    skos:broader ex:cat ;
+    skos:inScheme ex:scheme .
+
+<http://example.org/v/cat> skos:prefLabel "Cat"@en ; a skos:Concept .
+"""
+
+EXPECTED = {
+    ("http://example.org/v/scheme", RDF_TYPE, SKOS + "ConceptScheme",
+     False, None),
+    ("http://example.org/v/scheme", SKOS + "prefLabel", "Animals",
+     True, "en"),
+    ("http://example.org/v/scheme", SKOS + "hasTopConcept",
+     "http://example.org/v/dog", False, None),
+    ("http://example.org/v/scheme", SKOS + "hasTopConcept",
+     "http://example.org/v/cat", False, None),
+    ("http://example.org/v/dog", RDF_TYPE, SKOS + "Concept", False, None),
+    ("http://example.org/v/dog", SKOS + "prefLabel", "Dog", True, "en"),
+    ("http://example.org/v/dog", SKOS + "prefLabel", "Hund", True, "de"),
+    ("http://example.org/v/dog", SKOS + "altLabel", "Canine", True, "en"),
+    ("http://example.org/v/dog", SKOS + "definition",
+     'Multi-line\ndefinition with "quotes".', True, "en"),
+    ("http://example.org/v/dog", SKOS + "notation", "D-1", True, None),
+    ("http://example.org/v/dog", SKOS + "broader",
+     "http://example.org/v/cat", False, None),
+    ("http://example.org/v/dog", SKOS + "inScheme",
+     "http://example.org/v/scheme", False, None),
+    ("http://example.org/v/cat", SKOS + "prefLabel", "Cat", True, "en"),
+    ("http://example.org/v/cat", RDF_TYPE, SKOS + "Concept", False, None),
+}
+
+JSONLD = {
+    "@context": {
+        "skos": SKOS,
+        "ex": "http://example.org/v/",
+        "broader": {"@id": SKOS + "broader", "@type": "@id"},
+    },
+    "@graph": [
+        {"@id": "ex:scheme", "@type": "skos:ConceptScheme",
+         "skos:prefLabel": {"@value": "Animals", "@language": "en"},
+         "skos:hasTopConcept": [{"@id": "ex:dog"}, {"@id": "ex:cat"}]},
+        {"@id": "ex:dog", "@type": "skos:Concept",
+         "skos:prefLabel": [
+             {"@value": "Dog", "@language": "en"},
+             {"@value": "Hund", "@language": "de"}],
+         "skos:altLabel": {"@value": "Canine", "@language": "en"},
+         "skos:definition": {"@value": 'Multi-line\ndefinition with "quotes".',
+                             "@language": "en"},
+         "skos:notation": "D-1",
+         "broader": "ex:cat",
+         "skos:inScheme": {"@id": "ex:scheme"}},
+        {"@id": "http://example.org/v/cat", "@type": "skos:Concept",
+         "skos:prefLabel": {"@value": "Cat", "@language": "en"}},
+    ],
+}
+
+
+def test_turtle_doc():
+    assert set(parse_turtle_doc(TTL)) == EXPECTED
+
+
+def test_jsonld_doc():
+    assert set(parse_jsonld_doc(json.dumps(JSONLD))) == EXPECTED
+
+
+def test_turtle_dataset_continue_on_error(ray_session):
+    docs = rd.from_items([
+        {"doc_id": "good.ttl", "text": TTL},
+        {"doc_id": "bad.ttl", "text": "ex:x [ unsupported ] ."},
+    ])
+    out = parse_turtle_dataset(docs)
+    rows = out.take_all()
+    assert len(rows) == len(EXPECTED)
+    assert {r["source_doc"] for r in rows} == {"good.ttl"}
+
+
+def test_jsonld_dataset(ray_session):
+    docs = rd.from_items([
+        {"doc_id": "v.jsonld", "text": json.dumps(JSONLD)},
+        {"doc_id": "bad.jsonld", "text": "{not json"},
+    ])
+    rows = parse_jsonld_dataset(docs).take_all()
+    assert len(rows) == len(EXPECTED)
+
+
+def test_turtle_jsonld_agree():
+    assert set(parse_turtle_doc(TTL)) == set(
+        parse_jsonld_doc(json.dumps(JSONLD)))
