@@ -118,8 +118,16 @@ def _to_skos_one(in_path: str, out_path: str, args) -> None:
     docs = rd.from_items([{"doc_id": os.path.basename(in_path),
                            "text": text}])
     triples = parse_markdown_dataset(docs, args.namespace)
+    if out_path.endswith(".ttl"):
+        # reference to-skos exports turtle (skos_converter.py:1551-1583)
+        from .sources.turtle import to_turtle_text
+
+        text_out = to_turtle_text(
+            triples, extra_prefixes={"": args.namespace})
+    else:
+        text_out = to_ntriples_text(triples)
     with open(out_path, "w") as f:
-        f.write(to_ntriples_text(triples))
+        f.write(text_out)
     print(f"wrote {out_path}")
 
 

@@ -212,3 +212,67 @@ def read_turtle(paths):
     files = rd.read_binary_files(paths, include_paths=True)
     return parse_turtle_dataset(
         files.map_batches(load, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Turtle writer (S8 — the reference exports turtle via rdflib,
+# skos_converter.py:1551-1583)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PREFIXES = {
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+_LOCAL_OK = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _compact(uri: str, prefixes: dict[str, str]) -> str:
+    for pfx, ns in prefixes.items():
+        if uri.startswith(ns):
+            local = uri[len(ns):]
+            if _LOCAL_OK.match(local):
+                return f"{pfx}:{local}"
+    return f"<{uri}>"
+
+
+def _ttl_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+def serialize_turtle_batch(batch: pa.Table,
+                           prefixes: dict[str, str]) -> pa.Table:
+    """triples rows -> one compacted Turtle statement line per row.
+    Line-per-triple keeps the sink embarrassingly parallel; prefix
+    headers are prepended by the caller (to_turtle_text) or written
+    once per shard."""
+    lines = []
+    for r in batch.to_pylist():
+        s = _compact(r["subj"], prefixes)
+        p = _compact(r["pred"], prefixes)
+        if r["obj_is_literal"]:
+            o = f'"{_ttl_escape(r["obj"])}"'
+            if r.get("lang"):
+                o += f"@{r['lang']}"
+        else:
+            o = _compact(r["obj"], prefixes)
+        lines.append(f"{s} {p} {o} .")
+    return pa.table({"line": pa.array(lines, pa.string())})
+
+
+def to_turtle_text(triples_ds, *, prefixes: dict[str, str] | None = None,
+                   extra_prefixes: dict[str, str] | None = None) -> str:
+    """triples Dataset -> one Turtle document string (header + body)."""
+    pfx = dict(_DEFAULT_PREFIXES if prefixes is None else prefixes)
+    if extra_prefixes:
+        pfx.update(extra_prefixes)
+    header = [f"@prefix {k}: <{v}> ." for k, v in sorted(pfx.items())]
+    body = []
+    ds = triples_ds.map_batches(
+        lambda b: serialize_turtle_batch(b, pfx), batch_format="pyarrow")
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        body.extend(b["line"].to_pylist())
+    return "\n".join(header) + "\n\n" + "\n".join(body) + "\n"

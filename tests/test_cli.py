@@ -89,3 +89,19 @@ def test_turtle_and_jsonld_inputs(tmp_path, ray_session):
     # same vocabulary through two formats -> identical rendered CSV
     assert open(out_a).read() == open(out_b).read()
     assert "Dog" in open(out_a).read()
+
+
+def test_to_skos_turtle_output(tmp_path, ray_session):
+    from skosconverter_ray.sources.turtle import parse_turtle_doc
+
+    nt = tmp_path / "v.nt"
+    voc_md = tmp_path / "v.md"
+    voc_md.write_text("# My Scheme\n\n## Alpha\n_Definition:_ first one\n\n"
+                      "## Beta\n\n### Gamma\n")
+    out = str(tmp_path / "back.ttl")
+    cli.main(["to-skos", str(voc_md), "-o", out,
+              "--namespace", "http://example.org/vocab/"])
+    triples = parse_turtle_doc(open(out).read())
+    preds = {p for _, p, *_ in triples}
+    assert any(p.endswith("broader") for p in preds)
+    assert any(p.endswith("hasTopConcept") for p in preds)

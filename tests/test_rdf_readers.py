@@ -113,3 +113,16 @@ def test_jsonld_dataset(ray_session):
 def test_turtle_jsonld_agree():
     assert set(parse_turtle_doc(TTL)) == set(
         parse_jsonld_doc(json.dumps(JSONLD)))
+
+
+def test_turtle_writer_roundtrip(ray_session):
+    from skosconverter_ray.sources.turtle import to_turtle_text
+
+    docs = rd.from_items([{"doc_id": "v.ttl", "text": TTL}])
+    triples = parse_turtle_dataset(docs)
+    text = to_turtle_text(
+        triples, extra_prefixes={"ex": "http://example.org/v/"})
+    assert text.startswith("@prefix")
+    assert "skos:prefLabel" in text and "ex:dog" in text
+    back = parse_turtle_doc(text)
+    assert set(back) == EXPECTED
