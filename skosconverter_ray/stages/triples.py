@@ -23,8 +23,16 @@ _SEP = "\x1f"
 
 def _key_batch(batch: pa.Table) -> pa.Table:
     """Add a composite dedup key column (subj/pred/obj/lang/literal)."""
-    lang = batch["lang"].fill_null("") if "lang" in batch.column_names else None
-    lit = batch["obj_is_literal"] if "obj_is_literal" in batch.column_names else None
+    if "lang" in batch.column_names:
+        # from_items infers null type for an all-null column; cast so
+        # fill_null can build a string scalar.
+        lang = pc.cast(batch["lang"], pa.string()).fill_null("")
+    else:
+        lang = None
+    if "obj_is_literal" in batch.column_names:
+        lit = pc.cast(batch["obj_is_literal"], pa.bool_()).fill_null(False)
+    else:
+        lit = None
     parts = [batch["subj"], pc.cast(batch["pred"], pa.string()), batch["obj"]]
     if lit is not None:
         parts.append(pc.cast(pc.cast(lit, pa.int8()), pa.string()))

@@ -1,0 +1,127 @@
+"""Randomized property tests (SURVEY.md §5.3 item 4): random
+equivalence graphs and edge sets vs sequential oracles."""
+
+import pyarrow as pa
+import pytest
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import ray.data as rd
+
+from skosconverter_ray import schemas
+from skosconverter_ray.config import (
+    OWL_SAME_AS,
+    SKOS_BROADER,
+    SKOS_NARROWER,
+    SKOS_RELATED,
+)
+from skosconverter_ray.stages.canonicalize import canonical_map
+from skosconverter_ray.stages.triples import dedup_triples, inverse_consistency
+
+PREF_NS = "http://pref.example/"
+ALT_NS = "http://alt.example/"
+
+_SETTINGS = settings(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow])
+
+
+def _triples_table(rows):
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([False] * len(rows), pa.bool_()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "source_doc": pa.array([None] * len(rows), pa.string()),
+        },
+        schema=schemas.TRIPLES,
+    )
+
+
+@st.composite
+def equivalence_edges(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    nodes = [(PREF_NS if draw(st.booleans()) else ALT_NS) + f"n{i}"
+             for i in range(n)]
+    n_edges = draw(st.integers(min_value=1, max_value=2 * n))
+    idx = st.integers(min_value=0, max_value=n - 1)
+    edges = draw(st.lists(st.tuples(idx, idx), min_size=n_edges,
+                          max_size=n_edges))
+    return [(nodes[a], OWL_SAME_AS, nodes[b]) for a, b in edges if a != b]
+
+
+@_SETTINGS
+@given(equivalence_edges())
+def test_canonical_map_matches_union_find(ray_session, rows):
+    if not rows:
+        return
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def rank(u):
+        return (0 if u.startswith(PREF_NS) else 1, u)
+
+    for s, _, o in rows:
+        ra, rb = find(s), find(o)
+        if ra != rb:
+            lo, hi = sorted((ra, rb), key=rank)
+            parent[hi] = lo
+    expected = {x: find(x) for x in list(parent) if find(x) != x}
+
+    got_ds = canonical_map(rd.from_arrow(_triples_table(rows)),
+                           preferred_ns=PREF_NS)
+    got = {r["uri"]: r["canonical_uri"] for r in got_ds.take_all()}
+    assert got == expected
+
+
+@st.composite
+def edge_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=16))
+    idx = st.integers(min_value=0, max_value=n - 1)
+    pred = st.sampled_from([SKOS_BROADER, SKOS_NARROWER, SKOS_RELATED])
+    m = draw(st.integers(min_value=1, max_value=3 * n))
+    raw = draw(st.lists(st.tuples(idx, idx, pred), min_size=m, max_size=m))
+    return [(f"http://x/{a}", p, f"http://x/{b}") for a, b, p in raw
+            if a != b]
+
+
+_INV = {SKOS_BROADER: SKOS_NARROWER, SKOS_NARROWER: SKOS_BROADER,
+        SKOS_RELATED: SKOS_RELATED}
+
+
+@_SETTINGS
+@given(edge_sets())
+def test_inverse_closure_and_idempotence(ray_session, rows):
+    if not rows:
+        return
+    ds = dedup_triples(rd.from_arrow(_triples_table(rows)))
+    once = inverse_consistency(ds)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in once.take_all()}
+    # oracle: set closure
+    base = {(s, p, o) for s, p, o in rows}
+    expected = base | {(o, _INV[p], s) for s, p, o in base}
+    assert got == expected
+    # idempotence: a second pass adds nothing
+    twice = inverse_consistency(rd.from_items(
+        [{"subj": s, "pred": p, "obj": o, "obj_is_literal": False,
+          "lang": None, "source_doc": None} for s, p, o in sorted(got)]))
+    got2 = {(r["subj"], r["pred"], r["obj"]) for r in twice.take_all()}
+    assert got2 == got
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                          st.integers(0, 5)), min_size=1, max_size=60))
+def test_dedup_matches_set_semantics(ray_session, raw):
+    rows = [(f"http://s/{a}", f"http://p/{b}", f"http://o/{c}")
+            for a, b, c in raw]
+    ds = dedup_triples(rd.from_arrow(_triples_table(rows)))
+    got = [(r["subj"], r["pred"], r["obj"]) for r in ds.take_all()]
+    assert sorted(got) == sorted(set(rows))
