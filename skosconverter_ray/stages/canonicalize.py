@@ -74,13 +74,24 @@ def canonical_map(triples_ds, *, max_rounds: int = 32,
         return label[2:]
 
     edges = equivalence_edges(triples_ds).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table({"uri": pa.array([], pa.string()),
                       "canonical_uri": pa.array([], pa.string())})
         )
+
+    # Fast path: the equivalence graph is dimension-sized (every round
+    # below already broadcasts the full node->label dict to the driver,
+    # so driver memory is not a new assumption). Under the threshold,
+    # run exact union-find on the driver instead of paying ~1s of
+    # scheduling latency per distributed round. Above it, fall through
+    # to hash-min propagation, which scales to graphs that don't fit
+    # one node.
+    if n_edges <= _DRIVER_UF_MAX:
+        return _driver_union_find(edges, _rank)
 
     # labels: node -> current best (min) rank-prefixed candidate
     def seed(batch: pa.Table) -> pa.Table:
@@ -155,6 +166,50 @@ def canonical_map(triples_ds, *, max_rounds: int = 32,
         return t.filter(pc.invert(pc.equal(t["uri"], t["canonical_uri"])))
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+import os
+
+_DRIVER_UF_MAX = int(os.environ.get("GRAFT_UF_DRIVER_MAX", "4000000"))
+
+
+def _driver_union_find(edges_ds, rank_fn):
+    """Exact in-memory union-find over a dimension-sized edge set.
+
+    Representative = min over the component by (rank, uri), identical
+    to what converged hash-min propagation computes, so both paths are
+    interchangeable. Returns the non-trivial (uri, canonical_uri) rows
+    as a Dataset."""
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for batch in edges_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536):
+        for a, b in zip(batch["node"].to_pylist(),
+                        batch["peer"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb), key=rank_fn)
+                parent[hi] = lo
+
+    uris, canons = [], []
+    for x in list(parent):
+        r = find(x)
+        if r != x:
+            uris.append(x)
+            canons.append(r)
+    return rd.from_arrow(
+        pa.table({"uri": pa.array(uris, pa.string()),
+                  "canonical_uri": pa.array(canons, pa.string())})
+    )
 
 
 def _broadcast_map(ds, key_col: str, val_col: str):
