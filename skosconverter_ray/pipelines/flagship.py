@@ -36,7 +36,7 @@ from ..config import (
     SKOS_NOTATION,
     SKOS_RELATED,
 )
-from ..stages.canonicalize import apply_canonicalization, canonical_map
+from ..stages.canonicalize import apply_canonicalization, canonical_map_table
 from ..stages.linker import build_label_index, link_documents
 from ..stages.triples import dedup_triples, inverse_consistency
 
@@ -191,10 +191,12 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
     )
     triples = dedup_triples(triples, coalesce=True)
 
-    vocab_ds = rd.from_arrow(vocab_triples)
-    canon = canonical_map(vocab_ds, preferred_ns=preferred_ns)
-    triples = apply_canonicalization(triples, canon)
+    # vocab_triples is already on the driver: solve union-find
+    # in-memory (no Ray round-trips; see canonical_map_table).
+    canon_tbl = canonical_map_table(vocab_triples, preferred_ns=preferred_ns)
+    triples = apply_canonicalization(triples, canon_tbl)
     graph = inverse_consistency(triples)
+    canon = rd.from_arrow(canon_tbl)
 
     if out_dir is not None:
         from ..state.manifest import write_partitioned

@@ -173,6 +173,51 @@ import os
 _DRIVER_UF_MAX = int(os.environ.get("GRAFT_UF_DRIVER_MAX", "4000000"))
 
 
+def canonical_map_table(vocab_triples: pa.Table, *,
+                        preferred_ns: str | None = None) -> pa.Table:
+    """Pure in-memory canonical_map for an already-materialized
+    vocabulary table: same representative rule (min by (rank, uri))
+    as the Dataset paths, but zero Ray jobs. Use when the equivalence
+    source is dimension-sized and already on the driver (e.g. the
+    flagship's vocab table), saving the fixed per-job scheduling
+    latency of materialize/count/iter_batches round-trips."""
+    def rank_fn(uri: str):
+        pref = preferred_ns is not None and uri.startswith(preferred_ns)
+        return (0 if pref else 1, uri)
+
+    mask = pc.and_(
+        pc.is_in(vocab_triples["pred"],
+                 value_set=pa.array(list(_EQUIV_PREDS))),
+        pc.invert(pc.cast(vocab_triples["obj_is_literal"], pa.bool_())
+                  .fill_null(False)),
+    )
+    t = vocab_triples.filter(mask)
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(t["subj"].to_pylist(), t["obj"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb), key=rank_fn)
+            parent[hi] = lo
+
+    uris, canons = [], []
+    for x in list(parent):
+        r = find(x)
+        if r != x:
+            uris.append(x)
+            canons.append(r)
+    return pa.table({"uri": pa.array(uris, pa.string()),
+                     "canonical_uri": pa.array(canons, pa.string())})
+
+
 def _driver_union_find(edges_ds, rank_fn):
     """Exact in-memory union-find over a dimension-sized edge set.
 
@@ -231,10 +276,15 @@ def apply_canonicalization(triples_ds, canon_map_ds):
 
     Broadcast map application per batch — zero shuffles on the big
     side. Equivalence triples collapse to self-loops and are dropped;
-    callers should dedup afterwards."""
+    callers should dedup afterwards. ``canon_map_ds`` may be a Dataset
+    or an in-memory ``pa.Table`` (from ``canonical_map_table``)."""
     import ray
 
-    ref = _broadcast_map(canon_map_ds, "uri", "canonical_uri")
+    if isinstance(canon_map_ds, pa.Table):
+        ref = ray.put(dict(zip(canon_map_ds["uri"].to_pylist(),
+                               canon_map_ds["canonical_uri"].to_pylist())))
+    else:
+        ref = _broadcast_map(canon_map_ds, "uri", "canonical_uri")
 
     def rewrite(batch: pa.Table, _ref=ref) -> pa.Table:
         cmap = ray.get(_ref)
