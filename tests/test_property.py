@@ -15,7 +15,10 @@ from skosconverter_ray.config import (
     SKOS_NARROWER,
     SKOS_RELATED,
 )
-from skosconverter_ray.stages.canonicalize import canonical_map
+from skosconverter_ray.stages.canonicalize import (
+    canonical_map,
+    canonical_map_table,
+)
 from skosconverter_ray.stages.triples import dedup_triples, inverse_consistency
 
 PREF_NS = "http://pref.example/"
@@ -79,6 +82,12 @@ def test_canonical_map_matches_union_find(ray_session, rows):
                            preferred_ns=PREF_NS)
     got = {r["uri"]: r["canonical_uri"] for r in got_ds.take_all()}
     assert got == expected
+
+    # the pure in-memory path (flagship fast path) must agree exactly
+    tbl = canonical_map_table(_triples_table(rows), preferred_ns=PREF_NS)
+    got_tbl = dict(zip(tbl["uri"].to_pylist(),
+                       tbl["canonical_uri"].to_pylist()))
+    assert got_tbl == expected
 
 
 @st.composite
