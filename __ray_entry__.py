@@ -31,7 +31,7 @@ def entry() -> Any:
     docs = synthetic.union(flat)
     out = run_flagship(docs, voc.triples,
                        preferred_ns="http://example.org/vocab/",
-                       concurrency=2, batch_size=256)
+                       batch_size=256)
     return out["graph"]
 
 

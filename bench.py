@@ -115,7 +115,7 @@ def _scale_worker(num_cpus: int) -> None:
     t0 = time.perf_counter()
     out = run_flagship(docs, voc.triples,
                        preferred_ns="http://example.org/vocab/",
-                       concurrency=max(2, num_cpus // 2), batch_size=1024)
+                       batch_size=1024)
     n_triples = out["graph"].count()
     wall = time.perf_counter() - t0
     print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),

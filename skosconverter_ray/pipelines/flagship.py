@@ -139,13 +139,19 @@ class EmitTriples:
 def run_flagship(docs_ds, vocab_triples: pa.Table, *,
                  doc_ns: str = "http://skosconverter-ray.example.org/doc/",
                  preferred_ns: str | None = None,
-                 concurrency: int = 4, batch_size: int = 1024,
+                 link_concurrency="auto", batch_size: int = 1024,
                  out_dir: str | None = None, n_parts: int = 32):
     """documents Dataset + vocabulary triples -> canonical graph Dataset.
 
     When ``out_dir`` is set, also materializes the graph as
     adjacency-partitioned parquet (``part=<crc32(subj)%n_parts>``) with
     a resumable manifest, and returns the written dataset path info.
+
+    ``link_concurrency``: "auto" (default) picks the measured-best
+    physical plan (elastic tasks vs autoscaling actor pool) from the
+    index size and session width; any other value — ``None`` (tasks)
+    or an int / ``(min, max)`` pool spec — is passed straight to the
+    linker stage as an explicit override.
     """
     import ray
     import ray.data as rd
@@ -177,8 +183,9 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
     # 16 cpus: 42s tasks vs 63s pool), on NARROW ones the actor pool
     # wins via stage overlap (4 cpus: 118s pool vs 261s fused tasks).
     # A big index always uses the pool (per-worker load amortization).
-    link_concurrency = (None if len(label_index) < 50_000
-                        and total_cpus >= 8 else pool)
+    if link_concurrency == "auto":
+        link_concurrency = (None if len(label_index) < 50_000
+                            and total_cpus >= 8 else pool)
 
     mentions = link_documents(docs_ds, index_ref,
                               concurrency=link_concurrency,
@@ -189,12 +196,16 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    triples = dedup_triples(triples, coalesce=True)
-
-    # vocab_triples is already on the driver: solve union-find
-    # in-memory (no Ray round-trips; see canonical_map_table).
+    # Canonicalize BEFORE the dedup shuffle: the URI rewrite can merge
+    # distinct triples into duplicates (e.g. exactMatch aliases sharing
+    # a broader edge), so running the set-semantics dedup downstream of
+    # it removes those at zero extra cost — the alternative (dedup
+    # first, then rewrite) would need a SECOND full dedup to restore
+    # the U4 invariant. vocab_triples is already on the driver: solve
+    # union-find in-memory (no Ray round-trips; see canonical_map_table).
     canon_tbl = canonical_map_table(vocab_triples, preferred_ns=preferred_ns)
     triples = apply_canonicalization(triples, canon_tbl)
+    triples = dedup_triples(triples, coalesce=True)
     graph = inverse_consistency(triples)
     canon = rd.from_arrow(canon_tbl)
 

@@ -530,7 +530,7 @@ def flagship_graph(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
     out = run_flagship(synthetic.union(flat), voc.triples,
                        preferred_ns="http://example.org/vocab/",
-                       concurrency=2, batch_size=512)
+                       batch_size=512)
     return out["graph"]
 
 

@@ -40,7 +40,7 @@ def result(voc, docs_table):
 
     out = run_flagship(rd.from_arrow(docs_table), voc.triples,
                        preferred_ns="http://example.org/vocab/",
-                       concurrency=2, batch_size=64)
+                       batch_size=64)
     return {
         "mentions": out["mentions"].to_pandas(),
         "graph": out["graph"].to_pandas(),
@@ -139,6 +139,60 @@ def test_canonical_uris_rewritten(result):
     assert not (set(g["subj"]) & replaced)
     lits = g["obj_is_literal"]
     assert not (set(g.loc[~lits, "obj"]) & replaced)
+
+
+def test_merged_aliases_do_not_duplicate_triples():
+    """Regression: when exactMatch aliases SHARE hierarchy (both carry a
+    broader edge to the same parent), the canonicalization rewrite maps
+    both edges onto one triple — the flagship must dedup downstream of
+    the rewrite or the U4 set invariant breaks. The standard generator
+    masks this (aliases carry no hierarchy), so build the vocab by hand."""
+    import ray.data as rd
+
+    from skosconverter_ray import schemas
+    from skosconverter_ray.config import (
+        RDF_TYPE,
+        SKOS_BROADER,
+        SKOS_CONCEPT,
+        SKOS_PREF_LABEL,
+    )
+
+    ns = "http://example.org/vocab/"
+    A, B, C = ns + "alpha", ns + "bravo", ns + "charlie"
+    rows = [
+        (A, RDF_TYPE, SKOS_CONCEPT, False, None),
+        (B, RDF_TYPE, SKOS_CONCEPT, False, None),
+        (C, RDF_TYPE, SKOS_CONCEPT, False, None),
+        (A, SKOS_PREF_LABEL, "alpha tango", True, "en"),
+        (B, SKOS_PREF_LABEL, "bravo tango", True, "en"),
+        (C, SKOS_PREF_LABEL, "charlie", True, "en"),
+        (B, SKOS_EXACT_MATCH, A, False, None),
+        # the shared hierarchy that becomes a duplicate after B -> A
+        (A, SKOS_BROADER, C, False, None),
+        (B, SKOS_BROADER, C, False, None),
+    ]
+    vt = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "source_doc": pa.array([None] * len(rows), pa.string()),
+        },
+        schema=schemas.TRIPLES,
+    )
+    docs = corpus.from_flat_documents(rd.from_items(
+        [{"doc_id": f"d{i}",
+          "text": "we saw alpha tango and bravo tango together"}
+         for i in range(3)]))
+    out = run_flagship(docs, vt, preferred_ns=ns, batch_size=16)
+    g = out["graph"].to_pandas()
+    keys = list(zip(g["subj"], g["pred"], g["obj"], g["lang"].fillna("")))
+    assert len(keys) == len(set(keys)), "duplicate triples after canonicalization"
+    # both alias mentions collapse onto A; the shared broader edge is one row
+    assert ((g["subj"] == A) & (g["pred"] == SKOS_BROADER)).sum() == 1
+    assert B not in set(g["subj"])
 
 
 def test_distributed_corpus_generation_matches_local(voc, docs_table):
