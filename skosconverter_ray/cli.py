@@ -67,6 +67,8 @@ def _cfg(args):
         kw["preferred_language"] = args.language
     if args.fallback_languages:
         kw["fallback_languages"] = tuple(args.fallback_languages.split(","))
+    if getattr(args, "prefix", None):
+        kw["prefix"] = args.prefix
     return EngineConfig(**kw)
 
 
@@ -78,8 +80,17 @@ def _validate_gate(triples_ds, args) -> bool:
     from .stages.validate import validate
 
     issues = validate(triples_ds)
-    n_err = issues.filter(lambda r: r["severity"] == "error").count()
+    errors = issues.filter(lambda r: r["severity"] == "error")
+    n_err = errors.count()
     if n_err and not args.force:
+        # truncated diagnostics (O2, ref 152-155, 267-270): first 5
+        # rows + "and N more" — the full table stays queryable via the
+        # validate() API; the CLI shows a human-sized summary
+        for r in errors.take(5):
+            print(f"  {r['check']}: {r['subject']} — {r['detail']}",
+                  file=sys.stderr)
+        if n_err > 5:
+            print(f"  ... and {n_err - 5} more", file=sys.stderr)
         print(f"validation found {n_err} error(s); use --force to "
               "convert anyway or --skip-validation to skip the check",
               file=sys.stderr)
@@ -122,8 +133,10 @@ def _to_skos_one(in_path: str, out_path: str, args) -> None:
         # reference to-skos exports turtle (skos_converter.py:1551-1583)
         from .sources.turtle import to_turtle_text
 
+        # --prefix binds the namespace under the user's prefix in the
+        # Turtle output (ref 1287-1292: graph.bind(prefix, namespace))
         text_out = to_turtle_text(
-            triples, extra_prefixes={"": args.namespace})
+            triples, extra_prefixes={args.prefix: args.namespace})
     else:
         text_out = to_ntriples_text(triples)
     with open(out_path, "w") as f:
@@ -147,6 +160,7 @@ def main(argv=None):
         s.add_argument("--fallback-languages", default=None)
         s.add_argument("--namespace",
                        default="http://example.org/vocab/")
+        s.add_argument("--prefix", default="ex")
         s.add_argument("--skip-validation", action="store_true")
         s.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)

@@ -38,6 +38,20 @@ def normalize_fragment(label: str) -> str:
     return re.sub(r"\s+", "_", frag).lower()
 
 
+def is_valid_uri(uri: str) -> bool:
+    """M7 URI validator (ref skos_converter.py:1464-1482): length >= 3,
+    a recognized scheme (http/https/urn/file or any '://' form), and
+    constructible as an IRI — no whitespace or angle brackets (the
+    practical failure modes of rdflib's URIRef constructor)."""
+    if not uri or len(uri) < 3:
+        return False
+    if not (uri.startswith("http://") or uri.startswith("https://")
+            or uri.startswith("urn:") or uri.startswith("file://")
+            or "://" in uri):
+        return False
+    return not any(c.isspace() or c in "<>" for c in uri)
+
+
 def mint_uri(namespace_uri: str, label: str) -> str:
     """Deterministic URI for a label: fragment if clean, else uuid5."""
     frag = normalize_fragment(label)
@@ -70,7 +84,7 @@ def xml_escape_array(strings: pa.Array) -> pa.Array:
     out = pc.replace_substring(out, "<", "&lt;")
     out = pc.replace_substring(out, ">", "&gt;")
     out = pc.replace_substring(out, '"', "&quot;")
-    out = pc.replace_substring(out, "'", "&apos;")
+    out = pc.replace_substring(out, "'", "&#39;")
     return out
 
 

@@ -763,6 +763,25 @@ def embedding_neardup_cosine(sf_dir: str):
                                       ("cos_sim", pa.float64())]))
 
 
+@_q("embedding_neardup_lsh")
+def embedding_neardup_lsh_q(sf_dir: str):
+    """Sign-LSH bucketed ALL-PAIRS near-dup (the 100-TB path behind
+    embedding_neardup_cosine): one groupby shuffle, intra-bucket exact
+    cosine — approximate recall by design (rows-only; precision and
+    recall >= 0.9 pytest-asserted vs brute force)."""
+    from .stages.similarity import embedding_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # threshold 0.45 with 6-bit codes: the sandbox corpus's nearest
+    # pairs sit at cosine ~0.45-0.51; auto table count keeps recall
+    # ~0.95 at the threshold (near-dup prod thresholds are higher and
+    # need far fewer tables)
+    pairs = embedding_neardup_lsh(ds, threshold=0.45, n_bits=6)
+    return _collect(pairs, pa.schema([("vec_a", pa.int64()),
+                                      ("vec_b", pa.int64()),
+                                      ("cos_sim", pa.float64())]))
+
+
 @_q("markdown_roundtrip")
 def markdown_roundtrip(sf_dir: str):
     """vocab -> markdown -> triples (intended to-skos semantics,

@@ -79,11 +79,28 @@ def to_csv_text(tree_rows_ds) -> str:
 # Markdown (S5)
 # ---------------------------------------------------------------------------
 
+def _md_heading(level: int, title: str) -> str:
+    """Reference heading shape (skos_converter.py:959-973, live code):
+    visual indicators ▸/▹/◦ at heading depths 4/5/6, and a bold-indent
+    fallback past H6 (markdown has no H7)."""
+    if level <= 6:
+        prefix = ""
+        if level == 4:
+            prefix = "▸ "
+        elif level == 5:
+            prefix = "▹ "
+        elif level >= 6:
+            prefix = "◦ "
+        return "#" * min(level, 6) + " " + prefix + title
+    indent = "  " * (level - 6)
+    return f"{indent}**◦ {title}**"
+
+
 def markdown_block_batch(batch: pa.Table) -> pa.Table:
     out = []
     for r in batch.to_pylist():
-        level = min(r["level"] + 1, 6)
-        lines = ["#" * level + " " + r["title"], ""]
+        level = r["level"] + 1
+        lines = [_md_heading(level, r["title"]), ""]
         if r["uri"]:  # synthetic containers carry no metadata
             if r["notation"]:
                 lines.append(f"_Notation:_ `{r['notation']}`  ")
@@ -99,8 +116,7 @@ def markdown_block_batch(batch: pa.Table) -> pa.Table:
                 refs = ", ".join(f"<{u}>" for u in r["related"].split(", "))
                 lines.append(f"_Related:_ {refs}  ")
             lines.append("")
-        return_block = "\n".join(lines)
-        out.append(return_block)
+        out.append("\n".join(lines))
     return pa.table({"sort_key": batch["sort_key"],
                      "block": pa.array(out, pa.string())})
 
@@ -119,15 +135,23 @@ def to_markdown_text(tree_rows_ds) -> str:
 # ---------------------------------------------------------------------------
 
 def _esc(s: str) -> str:
+    """5-entity escape, reference spelling incl. &#39; for the
+    apostrophe (skos_converter.py:1162-1170)."""
     return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-            .replace('"', "&quot;").replace("'", "&apos;"))
+            .replace('"', "&quot;").replace("'", "&#39;"))
 
 
 def xml_block_batch(batch: pa.Table) -> pa.Table:
     out = []
     for r in batch.to_pylist():
-        level = min(r["level"] + 1, 6)
-        lines = [f"<h{level}>{_esc(r['title'])}</h{level}>"]
+        level = r["level"] + 1
+        if level <= 6:
+            heading = f"<h{level}>{_esc(r['title'])}</h{level}>"
+        else:
+            # >h6 bold-indent fallback (ref 1104-1110)
+            indent = "&nbsp;" * ((level - 6) * 4)
+            heading = f"<p>{indent}<strong>{_esc(r['title'])}</strong></p>"
+        lines = [heading]
         if r["uri"]:
             # metadata order Definition -> Notation -> AltLabels
             # (ref 1113-1123; differs from the markdown order)
@@ -138,23 +162,39 @@ def xml_block_batch(batch: pa.Table) -> pa.Table:
             if r["alt_labels"]:
                 lines.append(
                     f"<p><em>Alternative Labels:</em> {_esc(r['alt_labels'])}</p>")
+            # URI as collapsible info panel (ref 1125-1133)
             lines.append(
-                '<ac:structured-macro ac:name="info"><ac:rich-text-body>'
-                f"<p>URI: {_esc(r['uri'])}</p>"
-                "</ac:rich-text-body></ac:structured-macro>")
+                '<ac:structured-macro ac:name="info" ac:schema-version="1">')
+            lines.append('<ac:parameter ac:name="title">URI</ac:parameter>')
+            lines.append("<ac:rich-text-body>")
+            lines.append(f"<p><code>{_esc(r['uri'])}</code></p>")
+            lines.append("</ac:rich-text-body>")
+            lines.append("</ac:structured-macro>")
+        lines.append("")  # spacing between concepts (ref 1134)
         out.append("\n".join(lines))
     return pa.table({"sort_key": batch["sort_key"],
                      "block": pa.array(out, pa.string())})
 
 
 def to_xml_text(tree_rows_ds) -> str:
+    """Confluence storage-format envelope (ref 1050-1054): XML
+    declaration + expand macro wrapper with title parameter."""
     blocks = []
     for b in tree_rows_ds.map_batches(
             xml_block_batch, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=8192):
         blocks.extend(b["block"].to_pylist())
     body = "\n".join(blocks)
-    return ("<ac:confluence-content>\n" + body + "\n</ac:confluence-content>\n")
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<ac:confluence-content>\n"
+        '<ac:structured-macro ac:name="expand" ac:schema-version="1">\n'
+        '<ac:parameter ac:name="title">SKOS Vocabulary</ac:parameter>\n'
+        "<ac:rich-text-body>\n"
+        + body + "\n"
+        "</ac:rich-text-body>\n"
+        "</ac:structured-macro>\n"
+        "</ac:confluence-content>\n")
 
 
 # ---------------------------------------------------------------------------

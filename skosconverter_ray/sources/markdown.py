@@ -46,7 +46,13 @@ from ..config import (
     SKOS_RELATED,
     SKOS_TOP_CONCEPT_OF,
 )
-from ..functions.text import mint_uri
+from ..functions.text import is_valid_uri, mint_uri
+
+# provenance predicate recording a rejected source URI (M7): the
+# reference logs "Skipping invalid URI" (1453) and mints; the engine
+# keeps the evidence as a queryable triple on the minted subject
+PRED_INVALID_SOURCE_URI = \
+    "http://skosconverter-ray.example.org/ns#invalidSourceUri"
 
 _HEADING_RE = re.compile(r"^(#+)\s+(.+?)\s*$")
 _TITLE_PREFIX_RE = re.compile(r"^[\s▸▹◦📂📁📄]+")
@@ -97,14 +103,22 @@ def parse_markdown_doc(text: str, namespace: str,
             continue
         # look-ahead metadata scan until the next heading (ref 1397-1462)
         meta = {"definition": None, "alt": [], "notation": None,
-                "uri": None, "same_as": [], "related": []}
+                "uri": None, "invalid_uri": None,
+                "same_as": [], "related": []}
         j = i + 1
         while j < n and not _HEADING_RE.match(lines[j]):
             line = lines[j].strip()
             for rx in _URI_FORMS:
                 um = rx.match(line)
                 if um:
-                    meta["uri"] = um.group(1)
+                    cand = um.group(1)
+                    # M7 (ref 1450-1453): malformed URIs never enter
+                    # the graph — fall through to deterministic mint
+                    # and record the rejected text as provenance
+                    if cand and cand != "None" and is_valid_uri(cand):
+                        meta["uri"] = cand
+                    elif cand and cand != "None":
+                        meta["invalid_uri"] = cand
                     break
             else:
                 mm = _META_RE.match(line)
@@ -129,12 +143,17 @@ def parse_markdown_doc(text: str, namespace: str,
             scheme_uri = meta["uri"] or mint_uri(namespace, title)
             add(scheme_uri, RDF_TYPE, SKOS_CONCEPT_SCHEME)
             add(scheme_uri, SKOS_PREF_LABEL, title, True, "en")
+            if meta["invalid_uri"]:
+                add(scheme_uri, PRED_INVALID_SOURCE_URI,
+                    meta["invalid_uri"], True)
             stack = []
         elif scheme_uri is not None:
             # concept (ref _process_concept 1504-1549, D2-fixed)
             uri = meta["uri"] or mint_uri(namespace, title)
             add(uri, RDF_TYPE, SKOS_CONCEPT)
             add(uri, SKOS_PREF_LABEL, title, True, "en")
+            if meta["invalid_uri"]:
+                add(uri, PRED_INVALID_SOURCE_URI, meta["invalid_uri"], True)
             add(uri, SKOS_IN_SCHEME, scheme_uri)
             add(uri, SKOS_DEFINITION, meta["definition"] or LOREM, True, "en")
             for a in meta["alt"]:

@@ -50,24 +50,64 @@ def _unescape(s: str) -> str:
 
 def _strip_comments(text: str) -> str:
     """Drop # comments outside quoted literals AND <...> IRIs (most
-    namespace IRIs end in '#')."""
-    out = []
-    for line in text.splitlines():
-        res, in_q, in_uri, i = [], False, False, 0
-        while i < len(line):
-            c = line[i]
-            if c == '"' and not in_uri and (i == 0 or line[i - 1] != "\\"):
-                in_q = not in_q
-            elif c == "<" and not in_q:
-                in_uri = True
-            elif c == ">" and not in_q:
-                in_uri = False
-            if c == "#" and not in_q and not in_uri:
-                break
-            res.append(c)
+    namespace IRIs end in '#').
+
+    Quote state persists ACROSS lines: a ``\"\"\"long literal\"\"\"``
+    may span newlines, and a '#' inside it is literal text — the old
+    per-line scan silently truncated such literals, violating the
+    parser's loud-error-over-silent-loss policy. Single-quoted
+    literals reset at end-of-line (an unterminated quote is a syntax
+    error the term parser will surface)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_q = in_long = in_uri = False
+    while i < n:
+        c = text[i]
+        if in_long:
+            if c == "\\" and i + 1 < n:
+                out.append(text[i:i + 2])
+                i += 2
+                continue
+            if text.startswith('"""', i):
+                out.append('"""')
+                i += 3
+                in_long = False
+                continue
+            out.append(c)
             i += 1
-        out.append("".join(res))
-    return "\n".join(out)
+            continue
+        if in_q:
+            if c == "\\" and i + 1 < n:
+                out.append(text[i:i + 2])
+                i += 2
+                continue
+            if c == '"' or c == "\n":
+                in_q = False
+            out.append(c)
+            i += 1
+            continue
+        if in_uri:
+            if c == ">" or c == "\n":
+                in_uri = False
+            out.append(c)
+            i += 1
+            continue
+        if text.startswith('"""', i):
+            out.append('"""')
+            i += 3
+            in_long = True
+            continue
+        if c == '"':
+            in_q = True
+        elif c == "<":
+            in_uri = True
+        elif c == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def parse_turtle_doc(text: str) -> list[tuple]:

@@ -18,6 +18,8 @@ broadcast map — canon_map is dimension-sized, shipped once via
 
 from __future__ import annotations
 
+import os
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -49,13 +51,37 @@ def equivalence_edges(triples_ds):
     return triples_ds.map_batches(emit, batch_format="pyarrow")
 
 
-def canonical_map(triples_ds, *, max_rounds: int = 32,
-                  preferred_ns: str | None = None):
+def _rank_array(uris, preferred_ns: str | None) -> pa.Array:
+    """Vectorized rank prefix: '0|uri' (preferred ns) < '1|uri'."""
+    if isinstance(uris, pa.ChunkedArray):
+        uris = uris.combine_chunks()
+    if preferred_ns:
+        pref = pc.starts_with(uris, pattern=preferred_ns)
+        prefix = pc.if_else(pref, "0|", "1|")
+    else:
+        prefix = pa.array(["1|"] * len(uris), pa.string())
+    return pc.binary_join_element_wise(prefix, uris, "")
+
+
+def canonical_map(triples_ds, *, max_rounds: int = 64,
+                  preferred_ns: str | None = None,
+                  num_buckets: int = 64):
     """-> canon_map Dataset (uri, canonical_uri), non-trivial rows only.
 
-    Distributed hash-min propagation with a driver-side convergence
-    loop: each iteration is one groupby-min shuffle over the
-    equivalence graph plus a cheap changed-count aggregate.
+    Distributed hash-min label propagation. Labels stay DISTRIBUTED
+    throughout: each round is (1) a bucket-cogroup join
+    ``edges ⋈ labels`` on the peer endpoint (neighbors' labels become
+    candidates) and (2) a bucket-cogroup min+change-detect on the node
+    endpoint. The driver sees only the changed-count scalar per round —
+    never a node→label dict — so the path is bounded by per-bucket
+    memory (|graph| / num_buckets), not driver memory.
+
+    Each round ALSO unions pointer-jump edges (node → its current
+    label) into the propagate step, so a node adopts its label's label
+    — classic pointer doubling. Convergence is O(log diameter) rounds
+    instead of O(diameter), which matters because per-round cost is
+    dominated by fixed shuffle latency, not data volume.
+    ``max_rounds`` caps pathological graphs.
 
     ``preferred_ns``: URIs under this namespace outrank foreign URIs as
     cluster representatives (so an ``owl:sameAs`` alias never replaces
@@ -65,13 +91,12 @@ def canonical_map(triples_ds, *, max_rounds: int = 32,
     """
     from ray.data.aggregate import Min, Sum
 
+    from ..functions.hashing import bucket_of
+
     def _rank(uri: str) -> str:
         if preferred_ns and uri.startswith(preferred_ns):
             return "0|" + uri
         return "1|" + uri
-
-    def _unrank(label: str) -> str:
-        return label[2:]
 
     edges = equivalence_edges(triples_ds).materialize()
     n_edges = edges.count()
@@ -83,29 +108,25 @@ def canonical_map(triples_ds, *, max_rounds: int = 32,
                       "canonical_uri": pa.array([], pa.string())})
         )
 
-    # Fast path: the equivalence graph is dimension-sized (every round
-    # below already broadcasts the full node->label dict to the driver,
-    # so driver memory is not a new assumption). Under the threshold,
-    # run exact union-find on the driver instead of paying ~1s of
-    # scheduling latency per distributed round. Above it, fall through
-    # to hash-min propagation, which scales to graphs that don't fit
-    # one node.
+    # Fast path: a dimension-sized equivalence graph is solved exactly
+    # on the driver (no per-round scheduling latency). Above the
+    # threshold, the distributed propagation below runs with bounded
+    # driver memory.
     if n_edges <= _DRIVER_UF_MAX:
         return _driver_union_find(edges, _rank)
 
-    # labels: node -> current best (min) rank-prefixed candidate
+    # seed labels: node -> min rank-prefixed candidate over
+    # {node} ∪ neighbors — one groupby-min over the symmetric edges
     def seed(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "node": batch["node"],
-            "cand": pa.array([_rank(p) for p in batch["peer"].to_pylist()],
-                             pa.string()),
+            "node": batch["node"].combine_chunks(),
+            "cand": _rank_array(batch["peer"], preferred_ns),
         })
 
     def self_seed(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "node": batch["node"],
-            "cand": pa.array([_rank(n) for n in batch["node"].to_pylist()],
-                             pa.string()),
+            "node": batch["node"].combine_chunks(),
+            "cand": _rank_array(batch["node"], preferred_ns),
         })
 
     labels = (
@@ -115,60 +136,130 @@ def canonical_map(triples_ds, *, max_rounds: int = 32,
         .materialize()
     )
 
+    lookup_schema = pa.schema([("_bucket", pa.int32()), ("_side", pa.int8()),
+                               ("key", pa.string()), ("node", pa.string()),
+                               ("label", pa.string())])
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": bucket_of(batch["peer"], num_buckets),
+            "_side": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "key": batch["peer"].combine_chunks(),
+            "node": batch["node"].combine_chunks(),
+            "label": pa.nulls(batch.num_rows, pa.string()),
+        }, schema=lookup_schema)
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": bucket_of(batch["node"], num_buckets),
+            "_side": pa.array(np.ones(batch.num_rows, np.int8)),
+            "key": batch["node"].combine_chunks(),
+            "node": pa.nulls(batch.num_rows, pa.string()),
+            "label": batch["label"].combine_chunks(),
+        }, schema=lookup_schema)
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """edges ⋈ labels on the peer endpoint, local per bucket."""
+        side = group["_side"]
+        e = group.filter(pc.equal(side, 0)).select(["key", "node"])
+        lab = group.filter(pc.equal(side, 1)).select(["key", "label"])
+        if e.num_rows == 0 or lab.num_rows == 0:
+            return pa.schema([("node", pa.string()),
+                              ("cand", pa.string())]).empty_table()
+        j = e.join(lab, keys=["key"], join_type="inner")
+        return pa.table({"node": j["node"],
+                         "cand": j["label"]})
+
+    combine_schema = pa.schema([("node", pa.string()),
+                                ("label", pa.string()),
+                                ("changed", pa.int64())])
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": bucket_of(batch["node"], num_buckets),
+            "node": batch["node"].combine_chunks(),
+            "cand": batch["label"].combine_chunks(),
+            "is_old": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": bucket_of(batch["node"], num_buckets),
+            "node": batch["node"].combine_chunks(),
+            "cand": batch["cand"].combine_chunks(),
+            "is_old": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    def combine(group: pa.Table) -> pa.Table:
+        """per-node min over {old label} ∪ {candidates} + change flag.
+
+        Vectorized: arrow sort by (node, cand), run-head detection on
+        dictionary codes; every node has exactly one old row (labels
+        covers all nodes after seeding)."""
+        order = pc.sort_indices(
+            group, sort_keys=[("node", "ascending"), ("cand", "ascending")])
+        g = group.take(order)
+        codes = pc.dictionary_encode(g["node"].combine_chunks()) \
+                  .indices.to_numpy(zero_copy_only=False)
+        head = np.concatenate(([True], codes[1:] != codes[:-1]))
+        firsts = g.filter(pa.array(head))
+        olds = g.filter(pc.equal(g["is_old"], 1))
+        # olds sorted by node too; align row-for-row with firsts
+        changed = pc.invert(pc.equal(firsts["cand"], olds["cand"]))
+        return pa.table({
+            "node": firsts["node"],
+            "label": firsts["cand"],
+            "changed": pc.cast(changed, pa.int64()),
+        }, schema=combine_schema)
+
+    def chase_edges(batch: pa.Table) -> pa.Table:
+        """labels -> pointer-jump edges (node, peer=unrank(label)):
+        joining these through the same propagate cogroup yields
+        label(label(node)) — pointer doubling for free."""
+        return pa.table({
+            "node": batch["node"].combine_chunks(),
+            "peer": pc.utf8_slice_codeunits(
+                batch["label"].combine_chunks(), 2, None),
+        })
+
     for _ in range(max_rounds):
-        # propagate: node's label flows to each neighbor as a candidate
-        label_ref = _broadcast_map(labels, "node", "label")
-
-        def push(batch: pa.Table, _ref=label_ref) -> pa.Table:
-            import ray
-
-            lookup = ray.get(_ref)
-            cands = [lookup.get(p) or _rank(p)
-                     for p in batch["peer"].to_pylist()]
-            return pa.table({"node": batch["node"],
-                             "cand": pa.array(cands, pa.string())})
-
-        new_labels = (
-            edges.map_batches(push, batch_format="pyarrow")
-            .union(labels.map_batches(
-                lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
-                batch_format="pyarrow"))
-            .groupby("node").aggregate(Min("cand", alias_name="label"))
+        jump = labels.map_batches(chase_edges, batch_format="pyarrow")
+        # repartition(num_buckets) before each groupby: iterated
+        # union+groupby otherwise COMPOUNDS block counts round over
+        # round and the sort-shuffle cost (map_blocks x
+        # reduce_partitions) grows superlinearly — measured 0.2s ->
+        # 54s per round by round 5 without it, flat ~1.7s with it
+        cand = (
+            edges.union(jump)
+            .map_batches(tag_edges, batch_format="pyarrow")
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        merged = (
+            labels.map_batches(tag_old, batch_format="pyarrow")
+            .union(cand.map_batches(tag_cand, batch_format="pyarrow"))
+            .repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(combine, batch_format="pyarrow")
             .materialize()
         )
-        # convergence check: any label changed?
-        old_ref = _broadcast_map(labels, "node", "label")
-
-        def diff(batch: pa.Table, _ref=old_ref) -> pa.Table:
-            import ray
-
-            old = ray.get(_ref)
-            changed = sum(
-                1
-                for n, l in zip(batch["node"].to_pylist(),
-                                batch["label"].to_pylist())
-                if old.get(n) != l
-            )
-            return pa.table({"changed": pa.array([changed], pa.int64())})
-
-        n_changed = (
-            new_labels.map_batches(diff, batch_format="pyarrow")
-            .aggregate(Sum("changed", alias_name="s"))["s"]
-        )
-        labels = new_labels
+        n_changed = merged.aggregate(Sum("changed", alias_name="s"))["s"]
+        if os.environ.get("GRAFT_UF_DEBUG"):
+            print(f"[canonical_map] round changed={n_changed}", flush=True)
+        labels = merged.drop_columns(["changed"])
         if not n_changed:
             break
 
     def finish(batch: pa.Table) -> pa.Table:
-        canon = pa.array([_unrank(l) for l in batch["label"].to_pylist()],
-                         pa.string())
+        canon = pc.utf8_slice_codeunits(
+            batch["label"].combine_chunks(), 2, None)
         t = pa.table({"uri": batch["node"], "canonical_uri": canon})
         return t.filter(pc.invert(pc.equal(t["uri"], t["canonical_uri"])))
 
     return labels.map_batches(finish, batch_format="pyarrow")
 
-
-import os
 
 _DRIVER_UF_MAX = int(os.environ.get("GRAFT_UF_DRIVER_MAX", "4000000"))
 

@@ -6,7 +6,14 @@ a 10^12-doc corpus additionally needs *near*-dup removal. All operators
 here follow the same scale shape:
 
 - **shingle** — per-batch vectorized word n-gram extraction; each doc
-  is reduced to a set of 64-bit hashes so nothing downstream ships text.
+  is reduced to a set of 64-bit hashes so nothing downstream ships
+  text. Docs with fewer than n words produce an EMPTY set (they have
+  no word n-gram, mirroring the oracle's ``WHERE len(w) >= n``) and
+  are dropped from the LSH index and the verify side entirely. Hashes
+  are full 64-bit (word hashes vectorized via functions/hashing.py,
+  mixed per window position), so the exact-Jaccard verification is
+  collision-free in practice (~2^-64 per shingle pair) though, like
+  any hashed-set comparison, not information-theoretically exact.
 - **MinHash** — 128 universal-hash permutations ((a*x+b) mod p, p prime
   > 2^32), numpy-vectorized per batch.
 - **LSH banding** — 32 bands x 4 rows; a doc emits 32 small
@@ -54,30 +61,60 @@ def _perm_params(seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
 _A, _B = _perm_params()
 
 
+# per-window-position odd multipliers: distinct positions get distinct
+# lanes so word order matters ("a b c" != "c b a")
+_WIN_MULT = (np.arange(1, 16, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+_WORD_SEED = 0x5EED1
+
+
+def shingle_sets_batch(texts, n: int = 3) -> list[np.ndarray]:
+    """texts -> per-doc sorted distinct word-n-gram hashes (uint64).
+
+    One vectorized hash call over ALL words in the batch, then a
+    numpy sliding-window mix per doc — no per-gram Python hashing.
+    Docs with < n words get an empty set (no n-gram exists; matches
+    the SQL oracle's ``WHERE len(w) >= n``)."""
+    from ..functions.hashing import hash_strings, mix64
+
+    words_per = [(t or "").split() for t in texts]
+    flat = [w for ws in words_per for w in ws]
+    wh = (hash_strings(flat, seed=_WORD_SEED) if flat
+          else np.empty(0, np.uint64))
+    out: list[np.ndarray] = []
+    pos = 0
+    for ws in words_per:
+        length = len(ws)
+        w = wh[pos:pos + length]
+        pos += length
+        if length < n:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        m = length - n + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for i in range(n):
+            acc ^= w[i:i + m] * _WIN_MULT[i]
+        out.append(np.unique(mix64(acc)))
+    return out
+
+
 def shingle_set(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram hashes (uint64, lower 32 bits used by
-    MinHash so a*x+b never overflows uint64)."""
-    words = text.split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    hs = {
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                       "big") & 0xFFFFFFFF
-        for g in set(grams)
-    }
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    """Distinct word n-gram hashes for one doc (see shingle_sets_batch)."""
+    return shingle_sets_batch([text], n)[0]
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """(N_PERM,) uint32 signature; empty doc -> all 0xFFFFFFFF."""
+    """(N_PERM,) uint32 signature; empty doc -> all 0xFFFFFFFF.
+
+    The 64-bit shingle hashes are folded to 32 bits here so the
+    universal hash a*x+b stays within uint64; the fold only affects
+    the (approximate) signature — exact verification uses the full
+    64-bit sets."""
     if shingles.size == 0:
         return np.full(N_PERM, 0xFFFFFFFF, dtype=np.uint64)
+    x = shingles & _MAX32
     # (N_PERM, S): a*x+b < 2^64 because a,b,x < 2^32
-    m = (_A[:, None] * shingles[None, :] + _B[:, None]) % _PRIME
+    m = (_A[:, None] * x[None, :] + _B[:, None]) % _PRIME
     return (m.min(axis=1) & _MAX32).astype(np.uint64)
 
 
@@ -112,34 +149,35 @@ class MinHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sets = [shingle_set(t or "")
-                for t in batch[self.text_col].to_pylist()]
+        sets = shingle_sets_batch(batch[self.text_col].to_pylist())
         counts = np.array([s.size for s in sets], dtype=np.int64)
-        n_docs = len(sets)
-        if n_docs == 0:
-            return pa.table({"doc_id": batch[self.id_col],
+        nonempty = counts > 0
+        n_ne = int(nonempty.sum())
+        if n_ne == 0:
+            # docs with no word n-gram can't be near-dups (oracle
+            # semantics) — emit nothing, which also avoids the skew
+            # bomb of every short doc colliding in one bucket
+            return pa.table({"doc_id": batch[self.id_col].take(
+                                 pa.array([], pa.int64())),
                              "band": pa.array([], pa.int32()),
                              "key": pa.array([], pa.int64())})
-        nonempty = counts > 0
-        sigs = np.full((n_docs, N_PERM), 0xFFFFFFFF, dtype=np.uint64)
-        if nonempty.any():
-            xs = np.concatenate([s for s in sets if s.size])
-            offs = np.concatenate(
-                ([0], np.cumsum(counts[nonempty])))[:-1]
-            # (N_PERM, total): a,b,x < 2^32 so a*x+b fits in uint64
-            m = (_A[:, None] * xs[None, :] + _B[:, None]) % _PRIME
-            mins = np.minimum.reduceat(m, offs, axis=1)  # (N_PERM, nd)
-            sigs[nonempty] = (mins.T & _MAX32)
-        # band keys: (n_docs, N_BANDS, ROWS_PER_BAND) rows mixed down
-        grouped = sigs.reshape(n_docs, N_BANDS, ROWS_PER_BAND)
+        xs = np.concatenate([s for s in sets if s.size]) & _MAX32
+        offs = np.concatenate(([0], np.cumsum(counts[nonempty])))[:-1]
+        # (N_PERM, total): a,b,x < 2^32 so a*x+b fits in uint64
+        m = (_A[:, None] * xs[None, :] + _B[:, None]) % _PRIME
+        mins = np.minimum.reduceat(m, offs, axis=1)  # (N_PERM, n_ne)
+        sigs = mins.T & _MAX32                       # (n_ne, N_PERM)
+        # band keys: (n_ne, N_BANDS, ROWS_PER_BAND) rows mixed down
+        grouped = sigs.reshape(n_ne, N_BANDS, ROWS_PER_BAND)
         keys = (grouped * _BAND_MIX[None, None, :]).sum(axis=2)
         keys = ((keys ^ (keys >> np.uint64(31)))
                 & np.uint64((1 << 63) - 1)).astype(np.int64)
-        take = np.repeat(np.arange(n_docs, dtype=np.int64), N_BANDS)
+        doc_idx = np.flatnonzero(nonempty)
+        take = np.repeat(doc_idx, N_BANDS)
         return pa.table({
             "doc_id": batch[self.id_col].take(pa.array(take)),
             "band": pa.array(
-                np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs)),
+                np.tile(np.arange(N_BANDS, dtype=np.int32), n_ne)),
             "key": pa.array(keys.reshape(-1)),
         })
 
@@ -149,15 +187,15 @@ def shingles_batch(batch: pa.Table, text_col: str = "text",
     """(doc_id, shingles: binary) — the compact join side for exact
     verification (~8B x n_grams per doc, not the text). Packed as a
     little-endian uint64 blob because Arrow's hash join rejects
-    list-typed payload columns; sorted so pairwise intersection is
-    O(n) via np.intersect1d(assume_unique)."""
-    sets = [
-        np.sort(shingle_set(t or "")).astype("<u8").tobytes()
-        for t in batch[text_col].to_pylist()
-    ]
+    list-typed payload columns; sorted (np.unique output) so pairwise
+    intersection is O(n) via np.intersect1d(assume_unique). Docs with
+    no n-gram are dropped — they never appear in candidate pairs."""
+    sets = shingle_sets_batch(batch[text_col].to_pylist())
+    keep = [i for i, s in enumerate(sets) if s.size]
     return pa.table({
-        "doc_id": batch[id_col],
-        "shingles": pa.array(sets, pa.binary()),
+        "doc_id": batch[id_col].take(pa.array(keep, pa.int64())),
+        "shingles": pa.array(
+            [sets[i].astype("<u8").tobytes() for i in keep], pa.binary()),
     })
 
 
@@ -295,28 +333,43 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_many(texts) -> list[int]:
+    """Vectorized 63-bit SimHash per text: one batched word-hash call,
+    then numpy bit-unpack + count-weighted vote per doc (word features
+    weighted by occurrence count; distinct-by-hash ≈ distinct-by-word
+    at 2^-64 collision odds)."""
+    from ..functions.hashing import hash_strings
+
+    words_per = [(t or "").split() for t in texts]
+    flat = [w for ws in words_per for w in ws]
+    wh = (hash_strings(flat, seed=_WORD_SEED) if flat
+          else np.empty(0, np.uint64))
+    out: list[int] = []
+    pos = 0
+    for ws in words_per:
+        length = len(ws)
+        w = wh[pos:pos + length]
+        pos += length
+        if length == 0:
+            out.append(0)
+            continue
+        uniq, counts = np.unique(w, return_counts=True)
+        bits = np.unpackbits(
+            uniq.astype("<u8").view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little").astype(np.int64)      # (k, 64)
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)  # vote
+        val = int(np.packbits((acc > 0), bitorder="little").view("<u8")[0])
+        out.append(val & ((1 << 63) - 1))
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features weighted by count."""
-    words = text.split()
-    if not words:
-        return 0
-    counts: dict[str, int] = {}
-    for w in words:
-        counts[w] = counts.get(w, 0) + 1
-    acc = np.zeros(64, dtype=np.int64)
-    for w, c in counts.items():
-        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8),
-                             bitorder="little").astype(bool)
-        acc += np.where(bits, c, -c)
-    out = 0
-    for i in np.nonzero(acc > 0)[0]:
-        out |= 1 << int(i)
-    return out & ((1 << 63) - 1)
+    return _simhash_many([text])[0]
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sh = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    sh = _simhash_many(batch[text_col].to_pylist())
     return batch.append_column("simhash", pa.array(sh, pa.int64()))
 
 
@@ -394,19 +447,39 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (brute force; the LSH scale path lives in
-# stages/similarity.py)
+# Embedding-cosine near-dup: exact brute force below GRAFT_EMB_BRUTE_MAX
+# rows, sign-LSH bucketed (stages/similarity.embedding_neardup_lsh) above
 # ---------------------------------------------------------------------------
+
+import os
+
+_EMB_BRUTE_MAX = int(os.environ.get("GRAFT_EMB_BRUTE_MAX", "100000"))
+
 
 def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.4):
-    """All-pairs cosine >= threshold via blocked matmul: each batch is
-    compared against a broadcast (ray.put once) normalized matrix —
-    O(n^2) flops but one pass over the data and no shuffle. Scale path:
-    LSH-bucketed variant (stages/similarity.py) bounds the compare set.
+    """All-pairs cosine >= threshold.
+
+    Below ``GRAFT_EMB_BRUTE_MAX`` rows (default 100k): EXACT blocked
+    matmul — each batch compared against a broadcast (ray.put once)
+    normalized matrix; O(n^2) flops, one pass, no shuffle. The matrix
+    is dimension-sized by construction of the threshold, so the
+    driver-side concat is bounded.
+
+    Above it, routes to the sign-LSH bucketed path
+    (stages/similarity.embedding_neardup_lsh): same output schema,
+    exact cosine verification inside each bucket (precision 1.0),
+    recall ~0.95 at the threshold via auto-sized table count — the
+    100 TB shape, no driver materialization.
     """
     import ray
+
+    if emb_ds.count() > _EMB_BRUTE_MAX:
+        from .similarity import embedding_neardup_lsh
+
+        return embedding_neardup_lsh(
+            emb_ds, id_col=id_col, vec_col=vec_col, threshold=threshold)
 
     tbl = pa.concat_tables(
         emb_ds.iter_batches(batch_format="pyarrow", batch_size=8192))

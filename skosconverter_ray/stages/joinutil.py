@@ -22,15 +22,19 @@ salt upstream if a single key's rows exceed a bucket budget.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import bucket_of
 
 
 def _bucket_of(values, n_buckets: int) -> pa.Array:
-    return pa.array(
-        [zlib.crc32(str(v).encode()) % n_buckets for v in values.to_pylist()],
-        pa.int32())
+    """Vectorized bucket ids; non-string keys render to strings first
+    (cogroup routing only needs within-run determinism)."""
+    if not pa.types.is_string(values.type):
+        values = pc.cast(values, pa.string())
+    return bucket_of(values, n_buckets)
 
 
 def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
@@ -84,8 +88,6 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["_side"]
-        import pyarrow.compute as pc
-
         left = (group.filter(pc.equal(side, 0))
                      .select(l_names))
         right = (group.filter(pc.equal(side, 1))
@@ -93,15 +95,23 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
         if left.num_rows == 0 or (right.num_rows == 0
                                   and join_type == "inner"):
             return out_schema.empty_table()
+        # sentinel marks genuinely-matched rows so outer joins can
+        # null the restored right key on unmatched rows (a payload
+        # column's nullness is ambiguous — it may be null in a match)
+        right = right.append_column(
+            "_r_matched", pa.array(np.ones(right.num_rows, np.int8)))
         joined = left.join(right, keys=[left_on], right_keys=[right_on],
                            join_type=join_type)
-        # local join drops the right key; restore full output order
+        matched = pc.is_valid(joined["_r_matched"])
+        # local join drops the right key; restore full output order,
+        # echoing the left key only where a right row actually matched
         cols = {}
         for n, t in out_fields:
             if n in joined.column_names:
                 cols[n] = joined[n]
             elif n == right_on:
-                cols[n] = joined[left_on]
+                cols[n] = pc.if_else(matched, pc.cast(joined[left_on], t),
+                                     pa.scalar(None, t))
             else:
                 cols[n] = pa.nulls(joined.num_rows, t)
         return pa.table(cols, schema=out_schema)

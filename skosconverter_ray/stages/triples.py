@@ -9,8 +9,6 @@ keyed on a single content-hash column so Ray hash-partitions evenly.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,19 +41,20 @@ def _key_batch(batch: pa.Table) -> pa.Table:
 
 
 def _hash_key_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Append (_h1, _h2, _bucket): a 126-bit blake2b content identity
-    of (subj, pred, obj, lit, lang) as two int64 columns. Integer keys
+    """Append (_h1, _h2, _bucket): a 126-bit content identity of
+    (subj, pred, obj, lit, lang) as two int64 columns — two
+    independently-seeded vectorized 64-bit hashes of the composite key
+    (functions/hashing.py; was a per-row blake2b Python loop, the
+    dominant Python-object cost of the flagship dedup). Integer keys
     keep the per-bucket dedup a pure numpy lexsort — no Python-object
     string comparisons — and the collision odds at corpus scale
     (~2^-60 for 10^12 distinct triples) are far below hardware error
     rates."""
-    keyed = _key_batch(batch)
-    h1 = np.empty(keyed.num_rows, dtype=np.int64)
-    h2 = np.empty(keyed.num_rows, dtype=np.int64)
-    for i, k in enumerate(keyed["_key"].to_pylist()):
-        d = hashlib.blake2b(k.encode(), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "big") >> 1
-        h2[i] = int.from_bytes(d[8:], "big") >> 1
+    from ..functions.hashing import hash_strings
+
+    key = _key_batch(batch)["_key"]
+    h1 = (hash_strings(key, seed=1) >> np.uint64(1)).astype(np.int64)
+    h2 = (hash_strings(key, seed=2) >> np.uint64(1)).astype(np.int64)
     t = batch.append_column("_h1", pa.array(h1, pa.int64()))
     t = t.append_column("_h2", pa.array(h2, pa.int64()))
     return t.append_column(

@@ -105,3 +105,35 @@ def test_to_skos_turtle_output(tmp_path, ray_session):
     preds = {p for _, p, *_ in triples}
     assert any(p.endswith("broader") for p in preds)
     assert any(p.endswith("hasTopConcept") for p in preds)
+
+
+def test_prefix_flag_binds_turtle_prefix(tmp_path, ray_session):
+    """--prefix (ref 1287-1292) names the vocabulary namespace in the
+    Turtle output's @prefix block."""
+    voc_md = tmp_path / "p.md"
+    voc_md.write_text("# Scheme\n\n## Alpha\n")
+    out = str(tmp_path / "p.ttl")
+    cli.main(["to-skos", str(voc_md), "-o", out,
+              "--namespace", "http://example.org/vocab/",
+              "--prefix", "myvoc"])
+    text = open(out).read()
+    assert "@prefix myvoc: <http://example.org/vocab/>" in text
+    assert "myvoc:" in text.split("\n\n", 1)[-1]  # used in the body
+
+
+def test_gate_prints_first_five_and_n_more(tmp_path, ray_session, capsys):
+    """O2 truncated diagnostics (ref 152-155): the CLI gate prints the
+    first 5 error rows plus an 'and N more' summary."""
+    from skosconverter_ray.config import RDF_TYPE, SKOS_CONCEPT
+
+    lines = []
+    for i in range(8):  # 8 unlabeled concepts -> 8 missing_label errors
+        lines.append(f"<http://ex.org/c{i}> <{RDF_TYPE}> <{SKOS_CONCEPT}> .")
+    nt = tmp_path / "bad.nt"
+    nt.write_text("\n".join(lines) + "\n")
+    with pytest.raises(SystemExit):
+        cli.main(["to-csv", str(nt), "-o", str(tmp_path / "bad.csv")])
+    err = capsys.readouterr().err
+    assert err.count("missing_label:") == 5
+    assert "... and" in err and "more" in err
+    assert "validation found" in err

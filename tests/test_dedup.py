@@ -60,6 +60,18 @@ def test_minhash_lsh_matches_bruteforce(ray_session):
         assert rows[k] == pytest.approx(expect[k], abs=0)  # bitwise
 
 
+def test_short_docs_excluded_from_neardup(ray_session):
+    """Docs with < 3 words have no word 3-gram: the oracle's
+    WHERE len(w) >= 3 excludes them, so identical short docs must NOT
+    pair up (they previously shingled to a whole-text gram and paired
+    at jaccard 1.0)."""
+    docs = {0: "hi", 1: "hi", 2: "two words", 3: "two words", 4: ""}
+    assert dedup.shingle_set("two words").size == 0
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = dedup.minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=2)
+    assert got.take_all() == []
+
+
 def test_minhash_signature_estimates_jaccard():
     a = dedup.shingle_set("the quick brown fox jumps over the lazy dog " * 20)
     b = dedup.shingle_set("the quick brown fox leaps over the lazy dog " * 20)
@@ -166,3 +178,53 @@ def test_media_features_plumbing(ray_session):
     fs = multimodal.FrameSampler(every_s=2.0, max_frames=4)
     plan = fs(docs_tbl)
     assert plan.num_rows <= n_media * 4
+
+
+def test_embedding_lsh_allpairs_recall(ray_session):
+    """Sign-LSH bucketed all-pairs path: precision must be exact
+    (cosine verified in-bucket), recall >= 0.9 vs brute force on
+    planted high-similarity near-dups."""
+    from skosconverter_ray.stages.similarity import embedding_neardup_lsh
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(600, 32))
+    planted = base[:120] + 0.12 * rng.normal(size=(120, 32))
+    vecs = np.vstack([base, planted])  # pair (i, 600+i) is a near-dup
+    n = len(vecs)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)
+    ])
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    thr = 0.85
+    expect = {(i, j): round(float(sims[i, j]), 4)
+              for i in range(n) for j in range(i + 1, n)
+              if sims[i, j] >= thr}
+    assert len(expect) >= 100  # the plant worked
+
+    got = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+           for r in embedding_neardup_lsh(ds, threshold=thr).take_all()}
+    # precision 1.0: every reported pair is a true pair, exact cosine
+    for k, v in got.items():
+        assert k in expect and v == pytest.approx(expect[k], abs=1e-9)
+    recall = len(got) / len(expect)
+    assert recall >= 0.9, f"LSH all-pairs recall {recall}"
+
+
+def test_embedding_near_dup_routes_to_lsh(ray_session, monkeypatch):
+    """Above GRAFT_EMB_BRUTE_MAX the public entry point uses the
+    bucketed path (no driver-side whole-table concat)."""
+    from skosconverter_ray.stages import dedup as ddp
+
+    monkeypatch.setattr(ddp, "_EMB_BRUTE_MAX", 0)
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(40, 16))
+    vecs = np.vstack([base, base[:10] + 0.05 * rng.normal(size=(10, 16))])
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()}
+        for i in range(len(vecs))
+    ])
+    got = {(r["vec_a"], r["vec_b"])
+           for r in ddp.embedding_near_dup_pairs(ds, threshold=0.9).take_all()}
+    assert any(b == a + 40 for a, b in got)  # planted dups found

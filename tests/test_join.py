@@ -33,6 +33,11 @@ def test_left_outer_join(ray_session):
     assert len(rows) == len(left)
     unmatched = [r for r in rows if r["k"] in (4, 5, 6)]
     assert unmatched and all(r["rv"] is None for r in unmatched)
+    # unmatched rows carry a NULL right key (standard outer-join
+    # output), never an echo of the left key
+    assert all(r["rk"] is None for r in unmatched)
+    matched = [r for r in rows if r["k"] not in (4, 5, 6)]
+    assert all(r["rk"] == r["k"] for r in matched)
 
 
 def test_bucket_invariance(ray_session):

@@ -134,3 +134,82 @@ def test_dedup_matches_set_semantics(ray_session, raw):
     ds = dedup_triples(rd.from_arrow(_triples_table(rows)))
     got = [(r["subj"], r["pred"], r["obj"]) for r in ds.take_all()]
     assert sorted(got) == sorted(set(rows))
+
+
+def test_distributed_canonicalization_matches_driver_path(
+        ray_session, monkeypatch):
+    """Force the distributed label-propagation path (driver threshold 0)
+    on seeded random graphs and require exact agreement with the
+    in-memory union-find."""
+    import random
+
+    from skosconverter_ray.stages import canonicalize as cz
+
+    monkeypatch.setattr(cz, "_DRIVER_UF_MAX", 0)
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40 + trial * 30
+        nodes = [(PREF_NS if rng.random() < 0.3 else ALT_NS) + f"n{i:03d}"
+                 for i in range(n)]
+        rows = []
+        for _ in range(n):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                rows.append((nodes[a], OWL_SAME_AS, nodes[b]))
+        if not rows:
+            continue
+        got_ds = canonical_map(rd.from_arrow(_triples_table(rows)),
+                               preferred_ns=PREF_NS, num_buckets=8)
+        got = {r["uri"]: r["canonical_uri"] for r in got_ds.take_all()}
+        tbl = canonical_map_table(_triples_table(rows), preferred_ns=PREF_NS)
+        expected = dict(zip(tbl["uri"].to_pylist(),
+                            tbl["canonical_uri"].to_pylist()))
+        assert got == expected, f"trial {trial}"
+
+
+def test_distributed_canonicalization_million_nodes(ray_session, monkeypatch):
+    """>=1M-node equivalence graph through the distributed path with
+    bounded driver memory: labels stay distributed (the driver only
+    ever sees the per-round changed-count), and the result is verified
+    formulaically — node i's canonical is its cluster's min URI."""
+    import numpy as np
+
+    from skosconverter_ray.stages import canonicalize as cz
+    from skosconverter_ray.stages.canonicalize import equivalence_edges
+
+    monkeypatch.setattr(cz, "_DRIVER_UF_MAX", 0)
+
+    N = 1_000_000
+    CLUSTER = 4  # chains of 4 -> several propagation rounds
+
+    def gen(batch):
+        # rows i -> edge (n{i}, sameAs, n{i+1}) within each chain
+        ids = batch["id"].to_numpy()
+        keep = ids[(ids % CLUSTER) != CLUSTER - 1]
+        subj = [f"{ALT_NS}n{i:07d}" for i in keep]
+        obj = [f"{ALT_NS}n{i + 1:07d}" for i in keep]
+        n = len(keep)
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array([OWL_SAME_AS] * n, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_is_literal": pa.array([False] * n, pa.bool_()),
+            "lang": pa.array([None] * n, pa.string()),
+            "source_doc": pa.array([None] * n, pa.string()),
+        }, schema=schemas.TRIPLES)
+
+    triples = rd.range(N, override_num_blocks=32) \
+                .map_batches(gen, batch_format="pyarrow")
+    out = canonical_map(triples, preferred_ns=None, num_buckets=64)
+
+    n_rows = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=65536):
+        uris = b["uri"].to_pylist()
+        canons = b["canonical_uri"].to_pylist()
+        n_rows += len(uris)
+        for u, c in zip(uris[:64], canons[:64]):  # spot-check per batch
+            i = int(u.rsplit("n", 1)[1])
+            root = (i // CLUSTER) * CLUSTER
+            assert c == f"{ALT_NS}n{root:07d}", (u, c)
+    # every non-root node appears exactly once
+    assert n_rows == N - N // CLUSTER

@@ -126,3 +126,22 @@ def test_turtle_writer_roundtrip(ray_session):
     assert "skos:prefLabel" in text and "ex:dog" in text
     back = parse_turtle_doc(text)
     assert set(back) == EXPECTED
+
+
+def test_turtle_hash_inside_multiline_literal():
+    """'#' on a continuation line of a long literal is literal text,
+    not a comment — quote state must persist across lines."""
+    from skosconverter_ray.sources.turtle import parse_turtle_doc
+
+    doc = (
+        '@prefix ex: <http://example.org/#> .\n'
+        'ex:a ex:def """line one\n'
+        'has a # not-a-comment inside\n'
+        'line three""" . # real comment\n'
+        'ex:b ex:p ex:c .\n'
+    )
+    ts = parse_turtle_doc(doc)
+    assert ('http://example.org/#a', 'http://example.org/#def',
+            'line one\nhas a # not-a-comment inside\nline three',
+            True, None) in ts
+    assert len(ts) == 2

@@ -120,7 +120,12 @@ def test_xml_structure(fixture_ds):
     from skosconverter_ray.pipelines import skos2notion
 
     xml = skos2notion.to_xml(fixture_ds)
-    assert xml.startswith("<ac:confluence-content>")
+    # envelope (ref 1050-1054): declaration + expand macro wrapper
+    assert xml.startswith('<?xml version="1.0" encoding="UTF-8"?>\n'
+                          "<ac:confluence-content>")
+    assert ('<ac:structured-macro ac:name="expand" ac:schema-version="1">'
+            in xml)
+    assert '<ac:parameter ac:name="title">SKOS Vocabulary</ac:parameter>' in xml
     assert xml.rstrip().endswith("</ac:confluence-content>")
     assert "<h1>[SCHEME] Animals</h1>" in xml
     assert "<h3>Dog</h3>" in xml
@@ -128,7 +133,36 @@ def test_xml_structure(fixture_ds):
     # Definition before Notation (XML order differs from markdown)
     assert xml.index("<em>Definition:</em> A canine") < \
         xml.index("<em>Notation:</em>")
-    assert "<p>URI: http://ex.org/dog</p>" in xml
+    # URI info panel with title param and <code> body (ref 1125-1133)
+    assert ('<ac:structured-macro ac:name="info" ac:schema-version="1">\n'
+            '<ac:parameter ac:name="title">URI</ac:parameter>\n'
+            "<ac:rich-text-body>\n"
+            "<p><code>http://ex.org/dog</code></p>" in xml)
+
+
+def test_deep_levels_render_fallbacks():
+    """Markdown ▸/▹/◦ prefixes (ref 959-973) and the >H6 / >h6
+    bold-indent fallbacks (ref 968-973, 1104-1110)."""
+    from skosconverter_ray.render.sinks import _md_heading, xml_block_batch
+
+    assert _md_heading(3, "X") == "### X"
+    assert _md_heading(4, "X") == "#### ▸ X"
+    assert _md_heading(5, "X") == "##### ▹ X"
+    assert _md_heading(6, "X") == "###### ◦ X"
+    assert _md_heading(7, "X") == "  **◦ X**"
+    assert _md_heading(8, "X") == "    **◦ X**"
+
+    deep = pa.table({
+        "sort_key": pa.array(["a"]), "title": pa.array(["Deep"]),
+        "parent": pa.array([""]), "scheme": pa.array([""]),
+        "definition": pa.array([""]), "alt_labels": pa.array([""]),
+        "notation": pa.array([""]), "same_as": pa.array([""]),
+        "related": pa.array([""]), "uri": pa.array(["http://ex.org/deep"]),
+        "level": pa.array([7], pa.int32()),
+    })
+    block = xml_block_batch(deep)["block"][0].as_py()
+    assert "<p>&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;" \
+           "<strong>Deep</strong></p>" in block
 
 
 def test_json_envelope(fixture_ds):
@@ -197,3 +231,35 @@ def test_markdown_roundtrip_triples(fixture_ds):
     # the *previous* scheme does not apply: container resets nothing in
     # markdown. Documented divergence: Lost re-attaches to Animals.
     assert (EX + "lost", SKOS_PREF_LABEL, "Lost") in triples
+
+
+def test_invalid_uri_minted_with_warning(ray_session):
+    """M7 (ref 1464-1482): a malformed _URI:_ value never enters the
+    graph — the concept gets a deterministic minted URI and the
+    rejected text is recorded as a provenance triple."""
+    import ray.data as rd
+
+    from skosconverter_ray.functions.text import is_valid_uri, mint_uri
+    from skosconverter_ray.sources.markdown import (
+        PRED_INVALID_SOURCE_URI,
+        parse_markdown_dataset,
+    )
+
+    assert is_valid_uri("http://ex.org/x")
+    assert is_valid_uri("urn:isbn:123")
+    assert not is_valid_uri("no")
+    assert not is_valid_uri("not a uri")
+    assert not is_valid_uri("http://ex.org/has space")
+
+    md = ("# Scheme\n\n"
+          "## Good\n_URI:_ <http://ex.org/good>\n\n"
+          "## Bad\n_URI:_ <notaurl>\n\n")
+    docs = rd.from_items([{"doc_id": "m", "text": md}])
+    back = parse_markdown_dataset(docs, "http://ex.org/").to_pandas()
+    uris = set(back["subj"]) | set(back.loc[~back["obj_is_literal"], "obj"])
+    assert "notaurl" not in uris
+    minted = mint_uri("http://ex.org/", "Bad")
+    assert minted in set(back["subj"])
+    warn = back[back["pred"] == PRED_INVALID_SOURCE_URI]
+    assert list(warn["subj"]) == [minted]
+    assert list(warn["obj"]) == ["notaurl"]

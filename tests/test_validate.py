@@ -76,3 +76,73 @@ def test_gate(issues):
     bad = validate(rd.from_arrow(dirty.triples))
     assert not gate(bad)
     assert gate(bad, force=True)
+
+
+def test_golden_rows_pathology_fixture(issues):
+    """Pin the exact issue-row set on the pathology fixture: the
+    distributed set logic must reproduce the sequential semantics
+    row for row (severity, check, subject, detail)."""
+    P = NS + "path/"
+    S0 = NS + "scheme/0"
+    golden = {
+        ("error", "cycle", P + "cycle_0", "broader cycle detected"),
+        ("error", "cycle", P + "self_broader", "broader cycle detected"),
+        ("error", "missing_label", P + "no_label", "concept has no prefLabel"),
+        ("error", "multiple_pref_labels", P + "dup_pref",
+         "2 prefLabels for lang 'en'"),
+        ("warning", "depth_exceeded", P + "deep_0",
+         "hierarchy depth 9 exceeds 7"),
+        ("warning", "duplicate_label", P + "shared_label_1",
+         "label 'Shared Label' used by 2 subjects"),
+        ("warning", "orphan_in_scheme", P + "dup_pref",
+         f"in scheme {S0} without broader"),
+        ("warning", "orphan_in_scheme", P + "orphan_in_scheme",
+         f"in scheme {S0} without broader"),
+        ("warning", "orphan_in_scheme", P + "shared_label_1",
+         f"in scheme {S0} without broader"),
+        ("warning", "orphan_in_scheme", P + "shared_label_2",
+         f"in scheme {S0} without broader"),
+        ("warning", "orphan_no_scheme", P + "no_label",
+         "concept not associated with any scheme"),
+        ("warning", "orphan_no_scheme", P + "orphan_no_scheme",
+         "concept not associated with any scheme"),
+        ("warning", "polyhierarchy", P + "poly_child", "2 broader concepts"),
+        ("warning", "topconcept_onesided", P + "onesided_htc",
+         f"hasTopConcept from {S0} without topConceptOf"),
+        ("warning", "topconcept_onesided", P + "onesided_tco",
+         f"topConceptOf {S0} without hasTopConcept"),
+    }
+    got = set(map(tuple,
+                  issues[["severity", "check", "subject", "detail"]].values))
+    assert got == golden
+
+
+def test_missing_label_accepts_rdfs_label(ray_session):
+    """ref 145-148: rdfs:label satisfies the label requirement — a
+    concept labeled only via rdfs:label must NOT be flagged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray import schemas
+    from skosconverter_ray.config import RDF_TYPE, RDFS_LABEL, SKOS_CONCEPT
+
+    A, B = NS + "rdfs_labeled", NS + "unlabeled"
+    rows = [
+        (A, RDF_TYPE, SKOS_CONCEPT, False, None),
+        (A, RDFS_LABEL, "via rdfs", True, "en"),
+        (B, RDF_TYPE, SKOS_CONCEPT, False, None),
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "source_doc": pa.array([None] * len(rows), pa.string()),
+        },
+        schema=schemas.TRIPLES,
+    )
+    df = validate(rd.from_arrow(t)).to_pandas()
+    flagged = set(df.loc[df["check"] == "missing_label", "subject"])
+    assert flagged == {B}
