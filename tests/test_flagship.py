@@ -204,3 +204,26 @@ def test_distributed_corpus_generation_matches_local(voc, docs_table):
     assert list(dist["doc_id"]) == list(local["doc_id"])
     for a, b in zip(dist["spans"], local["spans"]):
         assert [tuple(s.values()) for s in a] == [tuple(s.values()) for s in b]
+
+
+def test_vocab_closure_matches_inverse_pass(voc, docs_table):
+    """The driver-side vocab closure must yield EXACTLY the fixpoint
+    the corpus-wide inverse_consistency operator computes: applying
+    the operator to the flagship graph adds nothing."""
+    import ray.data as rd
+
+    from skosconverter_ray.stages.triples import inverse_consistency
+
+    out = run_flagship(rd.from_arrow(docs_table), voc.triples,
+                       preferred_ns="http://example.org/vocab/",
+                       batch_size=64)
+    g = out["graph"].materialize()
+    closed = inverse_consistency(g).to_pandas()
+    base = g.to_pandas()
+
+    def key(df):
+        return set(zip(df["subj"], df["pred"], df["obj"],
+                       df["lang"].fillna("")))
+
+    assert key(closed) == key(base)
+    assert len(base) == len(key(base))  # still duplicate-free
