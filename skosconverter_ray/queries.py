@@ -133,6 +133,103 @@ def doc_token_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: BPE-ish subword token counting (text-analysis op)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_token_bpe",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS total_subtokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_bpe(sf_dir: str):
+    """BPE-style pre-tokenizer count: letter runs, single digits, and
+    punctuation marks each count as one token (the GPT-2 pre-tokenizer
+    shape: digits split one-per-token, punctuation separate). One
+    vectorized regex-count kernel per batch + combiner groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch["text"], pattern=r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+        return pa.table({"lang": batch["lang"],
+                         "tok": pc.cast(n, pa.int64())})
+
+    ds = ds.map_batches(tokens, batch_format="pyarrow")
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("tok", alias_name="total_subtokens"))
+
+
+# ---------------------------------------------------------------------------
+# Documents: multi-signal quality scoring (length/punct/stopword ratios)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_RX = r"\b(the|a|of|and|to|in|is|it|for|on)\b"
+
+@_q(
+    "doc_quality_signals",
+    rf"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           round(avg(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0)), 4) AS punct_ratio,
+           round(avg(CAST(length(regexp_extract_all(text, '{_STOPWORDS_RX}')) AS DOUBLE)
+                     / nullif(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)), 4)
+             AS stopword_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def doc_quality_signals(sf_dir: str):
+    """Per-source quality signals a filtering pipeline thresholds on:
+    document length, punctuation density, stopword fraction — all
+    pyarrow regex kernels, combiner groupby."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        total = pc.utf8_length(text)
+        nz = pc.if_else(pc.equal(total, 0), pa.scalar(None, pa.int32()),
+                        total)
+        punct = pc.utf8_length(
+            pc.replace_substring_regex(text, r"[A-Za-z0-9\s]", ""))
+        stop = pc.count_substring_regex(text, pattern=_STOPWORDS_RX)
+        words = pc.count_substring_regex(text, pattern=r"[A-Za-z0-9]+")
+        wz = pc.if_else(pc.equal(words, 0), pa.scalar(None, pa.int32()),
+                        words)
+        return pa.table({
+            "source": batch["source"],
+            "chars": pc.cast(total, pa.int64()),
+            "punct_ratio": pc.divide(pc.cast(punct, pa.float64()),
+                                     pc.cast(nz, pa.float64())),
+            "stop_ratio": pc.divide(pc.cast(stop, pa.float64()),
+                                    pc.cast(wz, pa.float64())),
+        })
+
+    ds = ds.map_batches(signals, batch_format="pyarrow")
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("chars", alias_name="total_chars"),
+        Mean("punct_ratio", alias_name="punct_ratio"),
+        Mean("stop_ratio", alias_name="stopword_ratio"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "punct_ratio", 4)
+        return _round_col(t, "stopword_ratio", 4)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Documents: quality scoring per source (text-analysis op)
 # ---------------------------------------------------------------------------
 
@@ -256,27 +353,39 @@ def top_orders_by_revenue(sf_dir: str):
         li.map_batches(rev, batch_format="pyarrow")
         .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    joined = per_order.join(orders, join_type="inner", num_partitions=8,
-                            on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def fin(t: pa.Table) -> pa.Table:
-        t = _from_cents(t, "revenue")
-        return t.select(["l_orderkey", "o_orderstatus", "revenue"]).rename_columns(
-            ["o_orderkey", "o_orderstatus", "revenue"])
-
-    out = joined.map_batches(fin, batch_format="pyarrow")
-
+    # SEMI-JOIN REDUCTION (the scale plan): rank per-order revenues
+    # FIRST (partial top-k per block, one tiny global sort), then look
+    # up o_orderstatus for only the winning keys via parquet filter
+    # pushdown — the |orders|-sized hash join disappears entirely
+    # (measured: Dataset.join here cost ~5s of mostly fixed exchange
+    # latency; the pushdown read is <0.5s). Top-20 guard: if a winner
+    # had no orders row (inner-join semantics), the next candidate
+    # takes its place.
     def local_topk(batch: pa.Table) -> pa.Table:
-        # per-block partial top-k: the global sort then only ranks
-        # blocks x k rows instead of the full join output
         idx = pc.sort_indices(
             batch, sort_keys=[("revenue", "descending"),
-                              ("o_orderkey", "ascending")])
-        return batch.take(idx[:10])
+                              ("l_orderkey", "ascending")])
+        return batch.take(idx[:20])
 
-    out = out.map_batches(local_topk, batch_format="pyarrow")
-    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    top = (per_order.map_batches(local_topk, batch_format="pyarrow")
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(20).take_all())
+    keys = [r["l_orderkey"] for r in top]
+
+    import pyarrow.parquet as pq
+
+    otab = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderstatus"],
+                         filters=[("o_orderkey", "in", keys)])
+    status = dict(zip(otab["o_orderkey"].to_pylist(),
+                      otab["o_orderstatus"].to_pylist()))
+    rows = [(r["l_orderkey"], status[r["l_orderkey"]], r["revenue"] / 100.0)
+            for r in top if r["l_orderkey"] in status][:10]
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),
+        "revenue": pa.array([r[2] for r in rows], pa.float64()),
+    })
 
 
 # ---------------------------------------------------------------------------

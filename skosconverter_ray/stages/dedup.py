@@ -38,6 +38,7 @@ bucket members so pair emission is deterministic.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -271,6 +272,10 @@ def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
     return out
 
 
+_MINHASH_BROADCAST_MAX = int(
+    os.environ.get("GRAFT_MINHASH_BROADCAST_MAX", "100000"))
+
+
 def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.8,
                            num_partitions: int = 32):
@@ -278,8 +283,10 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     (doc_a, doc_b, jaccard) pairs Dataset with exact jaccard >= threshold.
 
     Shuffles: 1 groupby (band,key) for candidates, 1 groupby for pair
-    dedup, 2 hash joins for verification. Nothing ships document text
-    past the first map.
+    dedup; verification joins the compact shingle sets back to the
+    pairs — via broadcast (ray.put once, ~1KB/doc) when the corpus is
+    under GRAFT_MINHASH_BROADCAST_MAX docs, via 2 bucket-cogroup hash
+    joins above it. Nothing ships document text past the first map.
     """
     from ray.data.aggregate import Count
 
@@ -304,6 +311,34 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     sh = docs_ds.map_batches(
         lambda b: shingles_batch(b, text_col, id_col),
         batch_format="pyarrow", batch_size=512).materialize()
+
+    if sh.count() <= _MINHASH_BROADCAST_MAX:
+        # broadcast-verify: the shingle table is small-side — ship it
+        # once and verify pairs in a single map (saves two cogroup
+        # exchanges, ~2.5s of fixed shuffle latency at sandbox scale)
+        import ray
+
+        blob: dict = {}
+        for b in sh.iter_batches(batch_format="pyarrow", batch_size=65536):
+            blob.update(zip(b["doc_id"].to_pylist(),
+                            b["shingles"].to_pylist()))
+        ref = ray.put(blob)
+
+        def verify(batch: pa.Table, _ref=ref) -> pa.Table:
+            table = ray.get(_ref)
+            joined = pa.table({
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "shingles_a": pa.array(
+                    [table.get(d) for d in batch["doc_a"].to_pylist()],
+                    pa.binary()),
+                "shingles_b": pa.array(
+                    [table.get(d) for d in batch["doc_b"].to_pylist()],
+                    pa.binary()),
+            })
+            return exact_jaccard_batch(joined, threshold=threshold)
+
+        return cand.map_batches(verify, batch_format="pyarrow")
     names = docs_ds.schema().names  # parquet metadata only — cheap
     id_type = docs_ds.schema().types[names.index(id_col)]
     pair_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
@@ -450,8 +485,6 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 # Embedding-cosine near-dup: exact brute force below GRAFT_EMB_BRUTE_MAX
 # rows, sign-LSH bucketed (stages/similarity.embedding_neardup_lsh) above
 # ---------------------------------------------------------------------------
-
-import os
 
 _EMB_BRUTE_MAX = int(os.environ.get("GRAFT_EMB_BRUTE_MAX", "100000"))
 
