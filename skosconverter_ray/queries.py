@@ -872,6 +872,23 @@ def embedding_neardup_cosine(sf_dir: str):
                                       ("cos_sim", pa.float64())]))
 
 
+@_q("ann_topk_ivf")
+def ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (spherical k-means + n_probe), same
+    query as ann_topk_cosine (rows-only: approximate by design;
+    recall vs brute force pytest-asserted)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ann_ivf_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_ivf_topk(ds, q, k=10, exclude_ids=(0,))
+
+
 @_q("embedding_neardup_lsh")
 def embedding_neardup_lsh_q(sf_dir: str):
     """Sign-LSH bucketed ALL-PAIRS near-dup (the 100-TB path behind

@@ -84,6 +84,83 @@ def ann_lsh_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: spherical k-means coarse quantizer + probe
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(sample: np.ndarray, k: int, n_iter: int = 10,
+                      seed: int = 0x1BF) -> np.ndarray:
+    """Deterministic spherical k-means on a normalized sample ->
+    (k, dim) normalized centroids. Empty clusters re-seed from the
+    sample (seeded RNG), so the result is reproducible everywhere."""
+    rng = np.random.RandomState(seed)
+    n = sample.shape[0]
+    k = min(k, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members) == 0:
+                cent[c] = sample[rng.randint(n)]
+                continue
+            m = members.sum(axis=0)
+            norm = np.linalg.norm(m)
+            cent[c] = m / (norm or 1.0)
+    return cent
+
+
+def ann_ivf_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_centroids: int = 16, n_probe: int = 4,
+                 sample_rows: int = 4096, seed: int = 0x1BF,
+                 exclude_ids: tuple = ()):
+    """IVF-style top-k cosine for one query: a coarse spherical-kmeans
+    quantizer (trained on a bounded sample, driver-side) partitions
+    the space; only rows whose nearest centroid is among the query's
+    ``n_probe`` closest centroids get an exact-cosine evaluation.
+
+    One streaming pass — assignment, probe filter, and exact rerank
+    fuse into a single map over zero-copy batches; centroids ride in
+    the task closure ((n_centroids x dim) floats). At 100 TB with a
+    standing query workload, the same centroids instead key a
+    partitioned materialization (groupby(centroid) -> bucket files)
+    so each query reads only n_probe/n_centroids of the corpus; the
+    quantizer and probe math here are exactly that index's."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    excl = set(exclude_ids)
+
+    sample_tbl = emb_ds.limit(sample_rows).take_all()
+    smat = np.asarray([r[vec_col] for r in sample_tbl], dtype=np.float64)
+    norms = np.linalg.norm(smat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _spherical_kmeans(smat / norms, n_centroids, seed=seed)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        nr = np.linalg.norm(mat, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        matn = mat / nr
+        assign = (matn @ cents.T).argmax(axis=1)
+        keep = np.isin(assign, list(probe))
+        if excl:
+            keep &= ~np.isin(ids, list(excl))
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        sims = matn[keep] @ qn
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "cos_sim": pa.array(np.round(sims, 6), pa.float64()),
+        })
+
+    out = emb_ds.map_batches(scan, batch_format="pyarrow")
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # All-pairs near-dup, sign-LSH bucketed (the scale path behind
 # stages/dedup.embedding_near_dup_pairs — no driver materialization)
 # ---------------------------------------------------------------------------

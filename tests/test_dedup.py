@@ -228,3 +228,31 @@ def test_embedding_near_dup_routes_to_lsh(ray_session, monkeypatch):
     got = {(r["vec_a"], r["vec_b"])
            for r in ddp.embedding_near_dup_pairs(ds, threshold=0.9).take_all()}
     assert any(b == a + 40 for a, b in got)  # planted dups found
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF (spherical kmeans + n_probe) recall >= 0.7 vs exact top-10
+    on the sandbox embeddings — same bar as the LSH ANN path."""
+    from skosconverter_ray.stages.similarity import ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    tbl = pa.concat_tables(emb.iter_batches(batch_format="pyarrow"))
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    q = mat[ids == 0][0]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ (q / np.linalg.norm(q))) / norms
+    order = np.argsort(-sims)
+    exact = [int(ids[i]) for i in order if ids[i] != 0][:10]
+
+    got = ann_ivf_topk(emb, q, k=10, exclude_ids=(0,)).take_all()
+    got_ids = [r["vec_id"] for r in got]
+    recall = len(set(got_ids) & set(exact)) / 10
+    assert recall >= 0.7, f"IVF recall {recall} vs exact {exact}"
+    # deterministic: same seed, same result
+    again = [r["vec_id"]
+             for r in ann_ivf_topk(emb, q, k=10, exclude_ids=(0,)).take_all()]
+    assert again == got_ids
