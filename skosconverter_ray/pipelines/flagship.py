@@ -174,6 +174,7 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
                  doc_ns: str = "http://skosconverter-ray.example.org/doc/",
                  preferred_ns: str | None = None,
                  link_concurrency="auto", batch_size: int = 1024,
+                 materialize_before_dedup: bool | None = None,
                  out_dir: str | None = None, n_parts: int = 32):
     """documents Dataset + vocabulary triples -> canonical graph Dataset.
 
@@ -247,7 +248,12 @@ def run_flagship(docs_ds, vocab_triples: pa.Table, *,
     # the long fused map chain delays shuffle inputs and contends with
     # reduce tasks); on NARROW sessions fusion wins via stage overlap
     # with the half-width linker pool (4 cpus: 36s fused vs 47s split).
-    if total_cpus >= 8:
+    # None = auto by width; small-corpus callers (e.g. the sf-dir
+    # query harness) pass False to skip the extra exchange, which only
+    # pays off when the rewritten triples are corpus-scale
+    if materialize_before_dedup is None:
+        materialize_before_dedup = total_cpus >= 8
+    if materialize_before_dedup:
         triples = triples.materialize()
     # the vocab subgraph is already inverse-closed (see _vocab_subgraph)
     # and mention triples have no inverse, so post-dedup the graph IS

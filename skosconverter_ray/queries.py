@@ -639,7 +639,7 @@ def flagship_graph(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
     out = run_flagship(synthetic.union(flat), voc.triples,
                        preferred_ns="http://example.org/vocab/",
-                       batch_size=512)
+                       batch_size=512, materialize_before_dedup=False)
     return out["graph"]
 
 
@@ -954,15 +954,24 @@ def ann_topk_lsh(sf_dir: str):
 @_q("media_features")
 def media_features(sf_dir: str):
     """Actor-pool decode/feature stage over the deterministic synthetic
-    interleaved corpus (media spans are refs, never inlined bytes)."""
+    interleaved corpus. Media spans are refs (never inlined bytes);
+    each actor resolves a broadcast media store once and runs REAL
+    stdlib decoders (PCM WAV / 24-bit BMP) + signal featurization —
+    jpeg/png/mp3 style codecs stay behind NotImplementedError."""
+    import ray
+
     from . import corpus, vocab
-    from .stages.multimodal import extract_media_features
+    from .stages.multimodal import build_media_store, extract_media_features
 
     voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
                                                seed=42))
+    docs_tbl = corpus.generate_documents_table(400, voc, seed=42)
+    store_ref = ray.put(build_media_store(docs_tbl))
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
-    return extract_media_features(docs, concurrency=(1, 2), batch_size=64)
+    return extract_media_features(docs, concurrency=(1, 2), batch_size=64,
+                                  fake=False, store_ref=store_ref,
+                                  kinds=("image", "audio"))
 
 
 # ---------------------------------------------------------------------------

@@ -4,20 +4,34 @@ The interleaved input schema (BASELINE.json ``input_hint``) carries
 media spans as ``(kind, media_ref)`` — a typed *reference* to bytes in
 object storage, never inlined (SURVEY.md §7.3: "media_ref stays a
 reference"). The Ray-side plumbing here is real and tested: schema,
-actor-pool signature, batch sizing, output layout. The codec calls
-themselves are STUBS — the image/audio libraries are not in this
-container — with a deterministic fake behind ``fake=True`` so the
-pipeline shape is exercisable end to end.
+actor-pool signature, batch sizing, output layout.
+
+Decode support is tiered by what this container can genuinely do:
+
+- **REAL decoders** for container formats parseable with the stdlib:
+  PCM WAV (``wave`` module) and 24-bit uncompressed BMP (``struct``),
+  with real signal features (RMS / zero-crossing / spectral centroid
+  for audio; per-channel moments + gradient energy for images). A
+  deterministic media store generator produces genuine WAV/BMP bytes
+  per media_ref so the full fetch→decode→featurize path runs end to
+  end with zero external libraries.
+- **Stubbed codecs** for jpeg/png/mp3/mp4: ``NotImplementedError`` at
+  the decode call (the libraries are not installable here), with the
+  deterministic ``fake=True`` stand-in for shape-only tests.
 
 Pattern: each stage is a callable class for
 ``map_batches(Cls, concurrency=(m, n), batch_size=B)`` — expensive
-setup (codec init, model load) happens once per actor in ``__init__``.
-Media batches must stay SMALL (decoded frames are large): callers pass
-``batch_size=32``-ish, unlike the 1-4k used for text stages.
+setup (store open, codec init, model load) happens once per actor in
+``__init__``. Media batches must stay SMALL (decoded frames are
+large): callers pass ``batch_size=32``-ish, unlike the 1-4k used for
+text stages.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 
 import numpy as np
@@ -41,6 +55,173 @@ def _fake_feature(media_ref: str, kind: str) -> np.ndarray:
     return np.random.RandomState(seed).rand(FEATURE_DIM).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PCM WAV and 24-bit BMP (+ deterministic store)
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def synth_wav_bytes(media_ref: str) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: a two-tone sine whose
+    frequencies/duration derive from the ref."""
+    h = zlib.crc32(media_ref.encode())
+    dur_s = 0.2 + (h % 5) * 0.1
+    f1 = 200 + (h % 17) * 40
+    f2 = 400 + ((h >> 8) % 13) * 60
+    t = np.arange(int(_WAV_RATE * dur_s)) / _WAV_RATE
+    sig = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    pcm = (sig * 32000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def synth_bmp_bytes(media_ref: str) -> bytes:
+    """Deterministic 24-bit uncompressed BMP: a seeded gradient +
+    checker pattern, size derived from the ref."""
+    h = zlib.crc32(media_ref.encode())
+    width, height = 16 + (h % 4) * 8, 16 + ((h >> 4) % 4) * 8
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = ((xx * 255) // max(1, width - 1)).astype(np.uint8)
+    g = ((yy * 255) // max(1, height - 1)).astype(np.uint8)
+    b = (((xx // 4 + yy // 4) % 2) * 255).astype(np.uint8)
+    # BMP stores rows bottom-up, BGR, 4-byte padded
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = np.stack([b[y], g[y], r[y]], axis=1).astype(np.uint8)
+        pixel_data += row.tobytes() + b"\x00" * pad
+    data_size = len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       data_size, 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_data)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float64 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8)
+                   .astype(np.float64) - 128) / 128
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    return samples, rate
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = []
+    for y in range(height):
+        off = data_off + y * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=row_bytes,
+                            offset=off).reshape(width, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flipped else img
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Real signal features -> FEATURE_DIM vector: duration, RMS,
+    zero-crossing rate, spectral centroid/rolloff, and an 11-bin
+    log-magnitude spectrum."""
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    if samples.size == 0:
+        return out
+    out[0] = samples.size / rate
+    out[1] = float(np.sqrt(np.mean(samples ** 2)))
+    out[2] = float(np.mean(np.abs(np.diff(np.signbit(samples)))))
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(samples.size, d=1.0 / rate)
+    power = spec.sum() or 1.0
+    out[3] = float((freqs * spec).sum() / power / (rate / 2))
+    cum = np.cumsum(spec)
+    out[4] = float(freqs[np.searchsorted(cum, 0.85 * cum[-1])] / (rate / 2))
+    bins = np.array_split(spec, FEATURE_DIM - 5)
+    out[5:] = [np.log1p(b.sum()) for b in bins]
+    return out
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Real image features -> FEATURE_DIM vector: size/aspect,
+    per-channel mean/std, luma gradient energy, quadrant brightness."""
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    h, w, _ = img.shape
+    f = img.astype(np.float64) / 255.0
+    out[0] = h / 256.0
+    out[1] = w / 256.0
+    out[2] = w / h
+    out[3:6] = f.mean(axis=(0, 1))
+    out[6:9] = f.std(axis=(0, 1))
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+    out[9], out[10] = gx, gy
+    hh, hw = max(1, h // 2), max(1, w // 2)
+    out[11] = luma[:hh, :hw].mean()
+    out[12] = luma[:hh, hw:].mean() if w > 1 else out[11]
+    out[13] = luma[hh:, :hw].mean() if h > 1 else out[11]
+    out[14] = luma[hh:, hw:].mean() if h > 1 and w > 1 else out[11]
+    out[15] = float(np.median(luma))
+    return out
+
+
+MEDIA_STORE_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("format", pa.string()),      # "wav" | "bmp"
+    ("payload", pa.binary()),
+])
+
+
+def build_media_store(docs_tbl: pa.Table,
+                      kinds: tuple = ("image", "audio")) -> pa.Table:
+    """Deterministic media store for a documents table: every media
+    span's ref gets REAL bytes — WAV for audio refs, BMP for image
+    refs (stdlib-writable formats). In production this table is the
+    object-store manifest; here it makes the decode path executable."""
+    refs: dict[str, str] = {}
+    for spans in docs_tbl["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] in kinds and s["media_ref"]:
+                refs.setdefault(s["media_ref"],
+                                "wav" if s["kind"] == "audio" else "bmp")
+    items = sorted(refs.items())
+    return pa.table({
+        "media_ref": pa.array([r for r, _ in items], pa.string()),
+        "format": pa.array([f for _, f in items], pa.string()),
+        "payload": pa.array(
+            [synth_wav_bytes(r) if f == "wav" else synth_bmp_bytes(r)
+             for r, f in items], pa.binary()),
+    }, schema=MEDIA_STORE_SCHEMA)
+
+
 class MediaFeatureExtractor:
     """Interleaved-documents batch -> one feature row per media span.
 
@@ -52,17 +233,42 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, kinds: tuple = ("image", "audio", "video"),
-                 fake: bool = True):
+                 fake: bool = True, store_ref=None):
         self.kinds = set(kinds)
         self.fake = fake
-        # real build: self.decoder = load_codec(); self.model = load_model()
+        # per-actor setup: resolve the media store ONCE (the object
+        # store ships it zero-copy; a real build opens its blob client
+        # and loads the embedding model here)
+        self._store: dict | None = None
+        if store_ref is not None:
+            import ray
+
+            store_tbl = (ray.get(store_ref)
+                         if isinstance(store_ref, ray.ObjectRef)
+                         else store_ref)
+            self._store = {
+                r: (f, p)
+                for r, f, p in zip(store_tbl["media_ref"].to_pylist(),
+                                   store_tbl["format"].to_pylist(),
+                                   store_tbl["payload"].to_pylist())
+            }
 
     def _decode_and_embed(self, media_ref: str, kind: str) -> np.ndarray:
+        if self._store is not None and media_ref in self._store:
+            fmt, payload = self._store[media_ref]
+            if fmt == "wav":
+                return audio_features(*decode_wav(payload))
+            if fmt == "bmp":
+                return image_features(decode_bmp(payload))
+            raise NotImplementedError(
+                f"codec for {fmt!r} not available in this container "
+                "(only stdlib-parseable wav/bmp are decoded here)")
         if self.fake:
             return _fake_feature(media_ref, kind)
         raise NotImplementedError(
             "media decode requires image/audio libraries not present in "
-            "this container; run with fake=True or install codecs")
+            "this container; provide a media store with wav/bmp payloads, "
+            "run with fake=True, or install codecs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, span_idxs, kinds, refs, feats = [], [], [], [], []
@@ -124,11 +330,18 @@ class FrameSampler:
 
 
 def extract_media_features(docs_ds, *, concurrency=(1, 4),
-                           batch_size: int = 64, fake: bool = True):
-    """Actor-pool feature extraction over interleaved documents."""
+                           batch_size: int = 64, fake: bool = True,
+                           store_ref=None,
+                           kinds: tuple = ("image", "audio", "video")):
+    """Actor-pool feature extraction over interleaved documents.
+
+    Pass ``store_ref`` (``ray.put`` of a MEDIA_STORE_SCHEMA table) to
+    run the REAL wav/bmp decode+featurize path; each actor resolves
+    the store once in ``__init__``."""
     return docs_ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={"fake": fake, "store_ref": store_ref,
+                               "kinds": kinds},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -256,3 +256,64 @@ def test_ann_ivf_recall(ray_session):
     again = [r["vec_id"]
              for r in ann_ivf_topk(emb, q, k=10, exclude_ids=(0,)).take_all()]
     assert again == got_ids
+
+
+def test_real_wav_bmp_decode_features(ray_session):
+    """The REAL stdlib decode path: WAV/BMP bytes round-trip through
+    wave/struct decoders, features reflect actual signal content, and
+    the actor-pool stage resolves the store once per actor."""
+    import ray
+
+    from skosconverter_ray import corpus, vocab
+    from skosconverter_ray.stages import multimodal as mm
+
+    # WAV: a pure 1 kHz sine must put the spectral centroid near 1 kHz
+    ref = "media://wavtest"
+    samples, rate = mm.decode_wav(mm.synth_wav_bytes(ref))
+    assert rate == 8000 and samples.size > 0
+    assert np.abs(samples).max() <= 1.0
+    t = np.arange(8000) / 8000
+    import io, wave as wv
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes((0.9 * np.sin(2 * np.pi * 1000 * t) * 32000)
+                      .astype("<i2").tobytes())
+    feats = mm.audio_features(*mm.decode_wav(buf.getvalue()))
+    assert feats[0] == pytest.approx(1.0)          # duration 1s
+    assert feats[1] == pytest.approx(0.9 * 32000 / 32768 / np.sqrt(2), rel=0.01)  # RMS
+    assert feats[3] == pytest.approx(1000 / 4000, rel=0.05)  # centroid
+
+    # BMP: encode->decode is lossless; gradient means are mid-scale
+    img = mm.decode_bmp(mm.synth_bmp_bytes("media://bmptest"))
+    assert img.ndim == 3 and img.shape[2] == 3
+    f = mm.image_features(img)
+    assert 0.3 < f[3] < 0.7 and 0.3 < f[4] < 0.7  # R,G gradient means
+    # left half darker in R than right half (x gradient)
+    assert img[:, : img.shape[1] // 2, 0].mean() \
+        < img[:, img.shape[1] // 2:, 0].mean()
+
+    # end-to-end: real decode via the actor pool on the synthetic corpus
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=1, n_concepts=10,
+                                               seed=1))
+    docs_tbl = corpus.generate_documents_table(40, voc, seed=1)
+    store = mm.build_media_store(docs_tbl)
+    n_store_refs = store.num_rows
+    if n_store_refs == 0:
+        pytest.skip("corpus sample has no image/audio spans")
+    out = mm.extract_media_features(
+        rd.from_arrow(docs_tbl), concurrency=(1, 2), batch_size=16,
+        fake=False, store_ref=ray.put(store), kinds=("image", "audio"))
+    rows = out.take_all()
+    assert rows and all(len(r["feature"]) == mm.FEATURE_DIM for r in rows)
+    assert any(any(v != 0 for v in r["feature"]) for r in rows)
+
+    # unknown formats stay a loud codec boundary
+    ext = mm.MediaFeatureExtractor(
+        fake=False,
+        store_ref=pa.table({"media_ref": ["media://x"],
+                            "format": ["jpeg"],
+                            "payload": [b"\xff\xd8"]},
+                           schema=mm.MEDIA_STORE_SCHEMA))
+    with pytest.raises(NotImplementedError):
+        ext._decode_and_embed("media://x", "image")
