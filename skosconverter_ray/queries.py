@@ -720,6 +720,47 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: n-gram Jaccard near-dup at a second threshold (the exact
+# set-similarity join itself, oracle-verified; candidates via banding)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dedup_ngram_jaccard",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.75
+    """,
+)
+def doc_dedup_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard similarity join at threshold 0.75: LSH
+    banding only generates candidates (miss probability at j=0.75 is
+    ~5e-6 with 32x4 banding); every emitted pair carries the EXACT
+    jaccard, which is what the O(n^2) SQL oracle checks."""
+    from .stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, threshold=0.75, num_partitions=8)
+    return _collect(pairs, pa.schema([("doc_a", pa.int64()),
+                                      ("doc_b", pa.int64()),
+                                      ("jaccard", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: SimHash near-dup (rows-only: hash fn not SQL-reproducible;
 # pytest covers exactness of the banding vs brute-force hamming)
 # ---------------------------------------------------------------------------
@@ -778,6 +819,52 @@ def doc_fingerprint(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "min_fp": pa.array(fps, pa.string()),
                          "n_shingles": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Documents: rolling-hash fingerprint (Rabin-Karp polynomial over the
+# raw character stream — rows-only: the recurrence is not SQL-shaped;
+# pytest pins it against a sequential oracle)
+# ---------------------------------------------------------------------------
+
+_RK_BASE = np.uint64(1000003)
+
+
+def rolling_hash64(text: str) -> int:
+    """Rabin-Karp polynomial hash of the whole character stream,
+    h = sum(ord(c_i) * B^(n-1-i)) mod 2^64 — vectorized via cumulative
+    powers; masked to 63 bits for signed Arrow columns."""
+    if not text:
+        return 0
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4") \
+              .astype(np.uint64)
+    n = codes.size
+    # B^(n-1-i) with uint64 wraparound: cumprod over a constant array
+    powers = np.concatenate((
+        np.cumprod(np.full(n - 1, _RK_BASE, dtype=np.uint64))[::-1],
+        np.array([1], dtype=np.uint64))) if n > 1 else \
+        np.array([1], dtype=np.uint64)
+    return int((codes * powers).sum(dtype=np.uint64)
+               & np.uint64((1 << 63) - 1))
+
+
+@_q("doc_fingerprint_rolling")
+def doc_fingerprint_rolling(sf_dir: str):
+    """Per-doc rolling-hash fingerprint + text length — the cheap
+    exact-dup blocking key family alongside the min-shingle
+    fingerprint. Pure per-batch map, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rolling_fp": pa.array([rolling_hash64(t or "") for t in texts],
+                                   pa.int64()),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        })
 
     return ds.map_batches(fp, batch_format="pyarrow")
 

@@ -295,37 +295,71 @@ class MediaFeatureExtractor:
 
 
 class FrameSampler:
-    """Video/audio spans -> fixed-rate frame sample rows (stubbed).
+    """Video/audio spans -> fixed-rate frame sample rows.
 
-    Real build decodes and emits one row per sampled frame; the stub
-    emits the deterministic frame *plan* (timestamps) so downstream
-    scheduling/layout is testable without codecs.
+    With a media store (``store_ref``), WAV payloads are REALLY
+    decoded: the sample grid comes from the true duration and each row
+    carries the RMS of its window — the audio analogue of video
+    keyframe extraction, runnable with stdlib codecs only. Refs not in
+    the store fall back to the deterministic frame *plan* (timestamps
+    seeded from the ref) so downstream scheduling/layout stays
+    testable without codecs.
     """
 
     def __init__(self, every_s: float = 2.0, max_frames: int = 8,
-                 kinds: tuple = ("video", "audio")):
+                 kinds: tuple = ("video", "audio"), store_ref=None):
         self.every_s = every_s
         self.max_frames = max_frames
         self.kinds = set(kinds)
+        self._store: dict | None = None
+        if store_ref is not None:
+            import ray
+
+            tbl = (ray.get(store_ref)
+                   if isinstance(store_ref, ray.ObjectRef) else store_ref)
+            self._store = {
+                r: (f, p)
+                for r, f, p in zip(tbl["media_ref"].to_pylist(),
+                                   tbl["format"].to_pylist(),
+                                   tbl["payload"].to_pylist())
+            }
+
+    def _frames_for(self, ref: str) -> list[tuple[float, float]]:
+        """-> [(frame_ts, frame_rms)]; rms < 0 marks plan-only rows."""
+        entry = self._store.get(ref) if self._store else None
+        if entry is not None and entry[0] == "wav":
+            samples, rate = decode_wav(entry[1])
+            dur = samples.size / rate
+            n = min(self.max_frames,
+                    max(1, int(np.ceil(dur / self.every_s))))
+            out = []
+            for i in range(n):
+                ts = i * self.every_s
+                win = samples[int(ts * rate):
+                              int((ts + self.every_s) * rate)]
+                rms = float(np.sqrt(np.mean(win ** 2))) if win.size else 0.0
+                out.append((round(ts, 3), rms))
+            return out
+        dur = 1.0 + (zlib.crc32(ref.encode()) % 300) / 10.0
+        n = min(self.max_frames, max(1, int(dur / self.every_s)))
+        return [(round(i * self.every_s, 3), -1.0) for i in range(n)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, refs, frame_ts = [], [], []
+        doc_ids, refs, frame_ts, frame_rms = [], [], [], []
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  batch["spans"].to_pylist()):
             for span in spans or []:
                 if span["kind"] in self.kinds and span["media_ref"]:
-                    # stub duration: deterministic from the ref
-                    dur = 1.0 + (zlib.crc32(span["media_ref"].encode())
-                                 % 300) / 10.0
-                    n = min(self.max_frames, max(1, int(dur / self.every_s)))
-                    for i in range(n):
+                    for ts, rms in self._frames_for(span["media_ref"]):
                         doc_ids.append(doc_id)
                         refs.append(span["media_ref"])
-                        frame_ts.append(round(i * self.every_s, 3))
+                        frame_ts.append(ts)
+                        frame_rms.append(rms)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.string()),
             "media_ref": pa.array(refs, pa.string()),
             "frame_ts": pa.array(frame_ts, pa.float64()),
+            "frame_rms": pa.array(frame_rms, pa.float64()),
         })
 
 

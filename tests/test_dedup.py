@@ -317,3 +317,51 @@ def test_real_wav_bmp_decode_features(ray_session):
                            schema=mm.MEDIA_STORE_SCHEMA))
     with pytest.raises(NotImplementedError):
         ext._decode_and_embed("media://x", "image")
+
+
+def test_rolling_hash_fingerprint_oracle():
+    """Rolling hash equals the sequential Rabin-Karp recurrence and is
+    order/content sensitive."""
+    from skosconverter_ray.queries import _RK_BASE, rolling_hash64
+
+    def oracle(text):
+        h = 0
+        for c in text:
+            h = (h * int(_RK_BASE) + ord(c)) % (1 << 64)
+        return h & ((1 << 63) - 1)
+
+    for t in ("", "a", "ab", "ba", "hello world", "hello worle",
+              "x" * 500, "unicode ✓ σ"):
+        assert rolling_hash64(t) == oracle(t), t
+    assert rolling_hash64("ab") != rolling_hash64("ba")
+
+
+def test_frame_sampler_real_wav_durations(ray_session):
+    """With a store, frame grids come from TRUE WAV durations and rows
+    carry real window RMS; storeless refs keep the plan fallback."""
+    from skosconverter_ray.stages import multimodal as mm
+
+    ref = "media://framewav"
+    store = pa.table({
+        "media_ref": [ref], "format": ["wav"],
+        "payload": [mm.synth_wav_bytes(ref)],
+    }, schema=mm.MEDIA_STORE_SCHEMA)
+    samples, rate = mm.decode_wav(mm.synth_wav_bytes(ref))
+    true_dur = samples.size / rate
+
+    docs = pa.table({
+        "doc_id": pa.array(["d0"]),
+        "spans": pa.array([[{"kind": "audio", "text": "",
+                             "media_ref": ref, "offset": 0}]]),
+    })
+    fs = mm.FrameSampler(every_s=0.1, max_frames=100, store_ref=store)
+    plan = fs(docs)
+    n_expected = min(100, max(1, int(np.ceil(true_dur / 0.1))))
+    assert plan.num_rows == n_expected
+    rms = plan["frame_rms"].to_pylist()
+    assert all(r >= 0 for r in rms) and max(rms) > 0.1  # real signal
+
+    # storeless ref -> plan rows marked rms = -1
+    fs2 = mm.FrameSampler(every_s=2.0, max_frames=4)
+    plan2 = fs2(docs)
+    assert set(plan2["frame_rms"].to_pylist()) == {-1.0}
