@@ -6,15 +6,15 @@ pandas DataFrame / pyarrow Table whose column NAMES match the oracle
 SQL exactly. Floats that come out of aggregations are rounded
 identically on both sides so the driver's value-hash is stable.
 
-Scale discipline: reads prune columns; joins are either broadcast
-(dimension-sized side) or ``Dataset.join`` hash joins; aggregates go
-through Ray's combiner-based groupby; nothing materializes the full
-input on the driver.
+Scale discipline: reads prune columns; joins are broadcast
+(dimension-sized side), bucket-cogroup hash joins (stages/joinutil),
+or semi-join reductions (rank first, look up only the winners);
+aggregates go through Ray's combiner-based groupby; nothing
+materializes the full input on the driver.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -74,13 +74,13 @@ def _from_cents(tbl: pa.Table, col: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def _text_hash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit blake2b content hash (never Python hash(): salted)."""
-    hashes = [
-        int.from_bytes(hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
-                       "big") >> 1
-        for t in batch["text"].to_pylist()
-    ]
-    return batch.append_column("_h", pa.array(hashes, pa.int64()))
+    """64-bit seeded content hash, vectorized (functions/hashing.py —
+    never Python hash(): salted per interpreter)."""
+    from .functions.hashing import hash_strings
+
+    h = (hash_strings(batch["text"], seed=7) >> np.uint64(1)) \
+        .astype(np.int64)
+    return batch.append_column("_h", pa.array(h, pa.int64()))
 
 
 @_q(
