@@ -74,6 +74,14 @@ def run_headline() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from skosconverter_ray.queries import QUERIES
 
+    # Warm the worker pool before the timed loop: Ray spawns worker
+    # processes lazily on first use (~2-4s at 32 cpus), which would
+    # otherwise be billed to whichever query runs first. Session
+    # setup is not pipeline cost; per-query times measure the engine.
+    import ray.data as _rd
+    _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
+        .map_batches(lambda b: b).count()
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
