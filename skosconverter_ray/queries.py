@@ -94,12 +94,13 @@ def doc_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on content hash, keep first
     (min doc_id) per group. The groupby key is the 64-bit hash, so the
     shuffle moves 16 bytes/row, not the text."""
-    from ray.data.aggregate import Count, Min
+    from .stages.skew import bucket_aggregate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(_text_hash_batch, batch_format="pyarrow")
-    out = ds.groupby("_h").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    out = bucket_aggregate(ds.select_columns(["_h", "doc_id"]), ["_h"],
+                           [("min", "doc_id", "doc_id"),
+                            ("count", None, "n_copies")])
     return out.select_columns(["doc_id", "n_copies"])
 
 
@@ -336,7 +337,7 @@ def pricing_summary(sf_dir: str):
     """,
 )
 def top_orders_by_revenue(sf_dir: str):
-    from ray.data.aggregate import Sum
+    from .stages.skew import bucket_aggregate
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -348,11 +349,12 @@ def top_orders_by_revenue(sf_dir: str):
                          "rev": _to_cents(r)})
 
     # pre-aggregate per order BEFORE the join: the join input shrinks
-    # from |lineitem| to |orders| rows (scale discipline: A9-adjacent)
-    per_order = (
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
-    )
+    # from |lineitem| to |orders| rows (scale discipline: A9-adjacent).
+    # bucket_aggregate = map-side combine + 64-way cogroup, replacing
+    # the 147k-key sort exchange (5.1s -> 1.8s at sf0.1/32cpus)
+    per_order = bucket_aggregate(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"], [("sum", "rev", "revenue")])
     # SEMI-JOIN REDUCTION (the scale plan): rank per-order revenues
     # FIRST (partial top-k per block, one tiny global sort), then look
     # up o_orderstatus for only the winning keys via parquet filter
@@ -403,7 +405,7 @@ def top_orders_by_revenue(sf_dir: str):
     """,
 )
 def events_daily(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .stages.skew import bucket_aggregate
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
@@ -413,8 +415,12 @@ def events_daily(sf_dir: str):
                          "value": _to_cents(batch["value"])})
 
     ds = ds.map_batches(day, batch_format="pyarrow")
-    out = ds.groupby(["user_id", "day"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    # bucket on user_id alone: co-locates every (user, day) group of a
+    # user in one bucket; the in-bucket group_by keys on the full pair
+    out = bucket_aggregate(ds, ["user_id", "day"],
+                           [("count", None, "n_events"),
+                            ("sum", "value", "total_value")],
+                           bucket_key="user_id")
     return out.map_batches(lambda t: _from_cents(t, "total_value"),
                            batch_format="pyarrow")
 

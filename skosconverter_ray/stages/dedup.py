@@ -288,8 +288,6 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     under GRAFT_MINHASH_BROADCAST_MAX docs, via 2 bucket-cogroup hash
     joins above it. Nothing ships document text past the first map.
     """
-    from ray.data.aggregate import Count
-
     from ..config import use_hash_shuffle
     from .joinutil import cogroup_join
 
@@ -301,9 +299,12 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
         batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs(index, num_buckets=num_partitions * 4)
     # a pair surfacing in k bands appears k times -> dedup on the pair
-    cand = (cand.groupby(["doc_a", "doc_b"])
-                .aggregate(Count(alias_name="_n"))
-                .drop_columns(["_n"]))
+    # (bucket cogroup, not a (doc_a,doc_b)-keyed sort exchange)
+    from .skew import bucket_aggregate
+
+    cand = bucket_aggregate(cand, ["doc_a", "doc_b"],
+                            [("count", None, "_n")],
+                            bucket_key="doc_a").drop_columns(["_n"])
 
     # materialized once: BOTH join sides below read it, and a lazy
     # dataset would be recomputed per consumer by the streaming
@@ -414,7 +415,6 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     any pair at hamming distance <= 3 collides on >= 1 quarter
     (pigeonhole — exact recall, unlike MinHash banding). Verify
     hamming distance exactly inside the bucket-pair stage."""
-    from ray.data.aggregate import Count
 
     def emit(batch: pa.Table) -> pa.Table:
         t = simhash_batch(batch.select([id_col, text_col]), text_col)
@@ -471,14 +471,15 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
             "hamming": pa.array(dist, pa.int64()),
         })
 
-    from ray.data.aggregate import Min
+    from .skew import bucket_aggregate
 
     rows = docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=512)
     rows = rows.map_batches(add_bucket, batch_format="pyarrow")
     pairs = rows.groupby("_bucket").map_groups(bucket_pairs,
                                                batch_format="pyarrow")
-    return (pairs.groupby(["doc_a", "doc_b"])
-                 .aggregate(Min("hamming", alias_name="hamming")))
+    return bucket_aggregate(pairs, ["doc_a", "doc_b"],
+                            [("min", "hamming", "hamming")],
+                            bucket_key="doc_a")
 
 
 # ---------------------------------------------------------------------------

@@ -207,8 +207,6 @@ def embedding_neardup_lsh(emb_ds, *, id_col: str = "vec_id",
     O(m^2) pairs, the same blow-up (and the same upstream-exact-dedup
     mitigation) as MinHash LSH.
     """
-    from ray.data.aggregate import Min
-
     if n_tables is None:
         n_tables = _tables_for_recall(threshold, n_bits)
     planes_cache: dict[int, np.ndarray] = {}
@@ -285,5 +283,8 @@ def embedding_neardup_lsh(emb_ds, *, id_col: str = "vec_id",
     rows = emb_ds.map_batches(emit, batch_format="pyarrow", batch_size=1024)
     pairs = rows.groupby("_bucket").map_groups(bucket_pairs,
                                                batch_format="pyarrow")
-    return (pairs.groupby(["vec_a", "vec_b"])
-                 .aggregate(Min("cos_sim", alias_name="cos_sim")))
+    from .skew import bucket_aggregate
+
+    return bucket_aggregate(pairs, ["vec_a", "vec_b"],
+                            [("min", "cos_sim", "cos_sim")],
+                            bucket_key="vec_a")

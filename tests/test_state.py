@@ -103,3 +103,43 @@ def test_salted_aggregate_rejects_non_algebraic(ray_session):
 
     with pytest.raises(ValueError):
         salted_aggregate(_triples(), ["subj"], [("mean", "obj", "m")])
+
+
+def test_bucket_aggregate_matches_plain_groupby(ray_session):
+    """High-cardinality path: many distinct int keys, multi-key
+    grouping with a string member, vs Ray's direct groupby."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from skosconverter_ray.stages.skew import bucket_aggregate
+
+    rng = __import__("random").Random(7)
+    rows = [{"k": rng.randrange(200), "g": f"g{rng.randrange(3)}",
+             "v": rng.randrange(-50, 1000)} for _ in range(5000)]
+    ds = rd.from_items(rows).repartition(16)
+
+    got = bucket_aggregate(
+        ds, ["k", "g"],
+        [("count", None, "n"), ("sum", "v", "s"),
+         ("min", "v", "lo"), ("max", "v", "hi")],
+        num_buckets=16, bucket_key="k").take_all()
+    want = (rd.from_items(rows).groupby(["k", "g"])
+            .aggregate(Count(alias_name="n"), Sum("v", alias_name="s"),
+                       Min("v", alias_name="lo"), Max("v", alias_name="hi"))
+            ).take_all()
+    key = lambda r: (r["k"], r["g"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_bucket_aggregate_string_bucket_key(ray_session):
+    from ray.data.aggregate import Sum
+
+    from skosconverter_ray.stages.skew import bucket_aggregate
+
+    rows = [{"k": f"key-{i % 37}", "v": i} for i in range(1000)]
+    ds = rd.from_items(rows).repartition(8)
+    got = bucket_aggregate(ds, ["k"], [("sum", "v", "s")],
+                           num_buckets=8).take_all()
+    want = (rd.from_items(rows).groupby("k")
+            .aggregate(Sum("v", alias_name="s"))).take_all()
+    key = lambda r: r["k"]
+    assert sorted(got, key=key) == sorted(want, key=key)
