@@ -442,23 +442,26 @@ def customers_without_orders(sf_dir: str):
     o_custkey set is customer-sized, not orders-sized; at a scale where
     even that won't fit, swap in Dataset.join(left_anti)."""
     import ray
-    from ray.data.aggregate import Count
 
-    keys = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey").aggregate(Count(alias_name="_n"))
-    )
-    keyset = set()
-    for b in keys.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keyset.update(b["o_custkey"].to_pylist())
-    key_ref = ray.put(keyset)
+    # per-batch unique THEN a driver-side merge: no distinct shuffle —
+    # the driver sees only each block's already-deduped key vector
+    uniq = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": pa.array(np.unique(
+            b["o_custkey"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow")
+    ks = np.unique(np.concatenate(
+        [b["o_custkey"].to_numpy()
+         for b in uniq.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536)] or [np.array([], np.int64)]))
+    key_ref = ray.put(ks)
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def drop_known(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
+        known = ray.get(key_ref)
+        keep = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False),
+                        known)
+        return batch.filter(pa.array(keep))
 
     out = cust.map_batches(drop_known, batch_format="pyarrow")
     # materialize as Arrow so an empty result keeps its schema (an
@@ -483,18 +486,24 @@ def customers_without_big_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def big(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["o_totalprice"], 150000.0)) \
-                    .select(["o_custkey"])
+        t = batch.filter(pc.greater(batch["o_totalprice"], 150000.0))
+        return pa.table({"o_custkey": pa.array(np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False)))})
 
-    keys = orders.map_batches(big, batch_format="pyarrow").unique("o_custkey")
-    key_ref = ray.put(set(keys))
+    uniq = orders.map_batches(big, batch_format="pyarrow")
+    ks = np.unique(np.concatenate(
+        [b["o_custkey"].to_numpy()
+         for b in uniq.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536)] or [np.array([], np.int64)]))
+    key_ref = ray.put(ks)
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def drop_known(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
+        known = ray.get(key_ref)
+        keep = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False),
+                        known)
+        return batch.filter(pa.array(keep))
 
     out = cust.map_batches(drop_known, batch_format="pyarrow")
     return _collect(out, pa.schema([("c_custkey", pa.int64())]))
@@ -584,10 +593,10 @@ def ann_topk_cosine(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def cos(batch: pa.Table) -> pa.Table:
+        from .functions.arrays import list_column_to_matrix
+
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch["embedding"].to_pylist()])
+        mat = list_column_to_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ qn) / norms

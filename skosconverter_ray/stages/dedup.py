@@ -42,7 +42,10 @@ import os
 
 import numpy as np
 import pyarrow as pa
+
 import pyarrow.compute as pc
+
+from ..functions.arrays import list_column_to_matrix
 
 # MinHash parameters (fixed; changing them changes every signature)
 N_PERM = 128
@@ -418,17 +421,17 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 
     def emit(batch: pa.Table) -> pa.Table:
         t = simhash_batch(batch.select([id_col, text_col]), text_col)
-        ids, bands, keys, sims = [], [], [], []
-        for d, s in zip(t[id_col].to_pylist(), t["simhash"].to_pylist()):
-            for q in range(4):
-                ids.append(d)
-                bands.append(q)
-                keys.append((s >> (16 * q)) & 0xFFFF)
-                sims.append(s)
-        return pa.table({"doc_id": pa.array(ids, t[id_col].type),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int64()),
-                         "simhash": pa.array(sims, pa.int64())})
+        s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(s)
+        rep = np.repeat(s, 4)                       # 63-bit, int64-safe
+        shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        keys = ((rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": t[id_col].take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(keys, pa.int64()),
+            "simhash": pa.array(rep.astype(np.int64), pa.int64())})
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -518,7 +521,7 @@ def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
     tbl = pa.concat_tables(
         emb_ds.iter_batches(batch_format="pyarrow", batch_size=8192))
     ids = np.asarray(tbl[id_col].to_pylist())
-    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    mat = list_column_to_matrix(tbl[vec_col])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat_n = mat / norms
@@ -526,7 +529,7 @@ def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
-        q = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        q = list_column_to_matrix(batch[vec_col])
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         sims = (q / qn) @ all_mat.T

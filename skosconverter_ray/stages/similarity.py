@@ -28,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrays import list_column_to_matrix
+
 
 def _hyperplanes(dim: int, n_bits: int, n_tables: int,
                  seed: int = 0xA11) -> np.ndarray:
@@ -62,7 +64,7 @@ def ann_lsh_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
 
     def probe(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_column_to_matrix(batch[vec_col])
         codes = _bucket_codes(mat, planes)          # (T, n)
         cand = (codes == q_codes[:, None]).any(axis=0)
         if excl:
@@ -139,7 +141,7 @@ def ann_ivf_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
 
     def scan(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_column_to_matrix(batch[vec_col])
         nr = np.linalg.norm(mat, axis=1, keepdims=True)
         nr[nr == 0] = 1.0
         matn = mat / nr
@@ -213,7 +215,7 @@ def embedding_neardup_lsh(emb_ds, *, id_col: str = "vec_id",
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_column_to_matrix(batch[vec_col])
         if mat.ndim != 2 or mat.shape[0] == 0:
             return pa.table({"_bucket": pa.array([], pa.int32()),
                              "table": pa.array([], pa.int32()),
