@@ -75,12 +75,20 @@ def run_headline() -> None:
     from skosconverter_ray.queries import QUERIES
 
     # Warm the worker pool before the timed loop: Ray spawns worker
-    # processes lazily on first use (~2-4s at 32 cpus), which would
-    # otherwise be billed to whichever query runs first. Session
-    # setup is not pipeline cost; per-query times measure the engine.
+    # processes lazily on first use (~2-4s at 32 cpus), and each
+    # worker pays the heavy imports (polars inside hash_strings) on
+    # first touch — costs that would otherwise be billed to whichever
+    # query runs first. Session setup is not pipeline cost; per-query
+    # times measure the engine.
     import ray.data as _rd
-    _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
-        .map_batches(lambda b: b).count()
+
+    def _warm(b):
+        from skosconverter_ray.functions.hashing import hash_strings
+        hash_strings(["warmup"], seed=1)
+        return b
+
+    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8) \
+        .map_batches(_warm, batch_size=1).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
