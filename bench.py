@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_topk_cosine",
     "pricing_summary",
     "top_orders_by_revenue",
+    "orders_topk_per_customer",
     "events_daily",
     "events_sessions",
     "events_asof_purchase",

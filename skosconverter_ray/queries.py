@@ -735,6 +735,101 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# URL / email redaction stats (training-data cleaning op). Both engines
+# run RE2, so counts and redacted lengths agree exactly.
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@_q(
+    "doc_redact_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           length(regexp_replace(regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+                                 '{_EMAIL_RE}', '<EMAIL>', 'g'))
+             AS len_redacted
+    FROM documents
+    """,
+)
+def doc_redact_stats(sf_dir: str):
+    """PII-style cleanup pass: count URLs / emails per document and
+    measure the text after replacing both with placeholder tokens.
+    Pure vectorized Arrow RE2 kernels (count_substring_regex /
+    replace_substring_regex) — no shuffle, no Python rows; the
+    redacted text itself would be written in a real run (here only
+    its length leaves the task, keeping the check scalar)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(t, _URL_RE, "<URL>"),
+            _EMAIL_RE, "<EMAIL>")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_urls": pc.cast(pc.count_substring_regex(t, _URL_RE),
+                              pa.int64()),
+            "n_emails": pc.cast(pc.count_substring_regex(t, _EMAIL_RE),
+                                pa.int64()),
+            "len_redacted": pc.cast(pc.utf8_length(red), pa.int64()),
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-key top-k (stratified selection): best-N rows per group without
+# sorting the corpus — stages/topk.py
+# ---------------------------------------------------------------------------
+
+@_q(
+    "docs_topk_per_lang",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def docs_topk_per_lang(sf_dir: str):
+    """3 longest documents per language (stratified selection,
+    low-cardinality keys): map-side partial top-k, one coarse
+    cogroup, deterministic doc_id tiebreak."""
+    from .stages.topk import top_k_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = top_k_per_key(ds, ["lang"], "n_chars", 3, tiebreak="doc_id")
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+@_q(
+    "orders_topk_per_customer",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 2
+    """,
+)
+def orders_topk_per_customer(sf_dir: str):
+    """2 largest orders per customer — the high-cardinality-key case
+    (|customers| groups); the partial pass bounds shuffle input at
+    2 rows x groups-per-batch, never |orders|."""
+    from .stages.topk import top_k_per_key
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = top_k_per_key(ds, ["o_custkey"], "o_totalprice", 2,
+                        tiebreak="o_orderkey")
+    return out.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
 # Documents: n-gram Jaccard near-dup at a second threshold (the exact
 # set-similarity join itself, oracle-verified; candidates via banding)
 # ---------------------------------------------------------------------------

@@ -83,6 +83,21 @@ def salted_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
 _FINAL_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def bucket_codes(col, num_buckets: int, *, seed: int = 11) -> np.ndarray:
+    """Key column -> int32 bucket ids in [0, num_buckets): the shared
+    co-location hash for every coarse-cogroup operator (aggregate,
+    top-k). Integers take a 64-bit odd-multiplier mix; anything else
+    is cast to string and runs through the vectorized seeded hash."""
+    from ..functions.hashing import hash_strings
+
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    else:
+        h = hash_strings(pc.cast(col, pa.string()), seed=seed)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
                      *, num_buckets: int = 64, bucket_key: str | None = None):
     """High-cardinality groupby-aggregate as ONE coarse cogroup.
@@ -114,8 +129,6 @@ def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
     (count ignores ``col``). Output: ``keys`` + one column per alias,
     same values as a direct groupby-aggregate.
     """
-    from ..functions.hashing import hash_strings
-
     bkey = bucket_key or keys[0]
 
     partial_aggs, partial_names, final_aggs = [], [], []
@@ -138,13 +151,7 @@ def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
         for (op, col, alias), pname in zip(specs, partial_names):
             cols[alias] = part[pname]
         out = pa.table(cols)
-        kcol = out[bkey]
-        if pa.types.is_integer(kcol.type):
-            k = kcol.to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        else:
-            h = hash_strings(pc.cast(kcol, pa.string()), seed=11)
-        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        b = bucket_codes(out[bkey], num_buckets)
         return out.append_column("_bucket", pa.array(b, pa.int32()))
 
     def final(group: pa.Table) -> pa.Table:
