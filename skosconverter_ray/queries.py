@@ -735,6 +735,27 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# HLL distinct-count sketch (approximate -> rows-only; accuracy is
+# pytest-asserted against exact counts at 5% tolerance)
+# ---------------------------------------------------------------------------
+
+@_q("events_distinct_users_hll")
+def events_distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via a
+    mergeable HyperLogLog sketch (p=12, ~1.6% rel. error): the shuffle
+    moves one 4 KiB register blob per (key, batch), never the distinct
+    user set — the 100 TB shape for cardinality stats. No SQL oracle
+    by design (approximate); stages/sketch.py is pytest-pinned to
+    within 5% of exact on synthetic and sandbox data."""
+    from .stages.sketch import distinct_count_hll
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_count_hll(ds, "event_type", "user_id")
+    return _collect(out, pa.schema([("event_type", pa.string()),
+                                    ("n_distinct_est", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # URL / email redaction stats (training-data cleaning op). Both engines
 # run RE2, so counts and redacted lengths agree exactly.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""HyperLogLog distinct-count sketch (mergeable, vectorized).
+
+Exact ``COUNT(DISTINCT x)`` per key needs a shuffle of every distinct
+value; at 100 TB the distinct set itself may not fit anywhere. The HLL
+sketch replaces it with a fixed 2^p-byte register vector per key:
+
+- **partial** (map side): hash values (64-bit seeded, vectorized),
+  register index = top ``p`` bits, rho = 1 + leading-zero count of the
+  remaining ``64-p`` bits; per-(key, register) max via one
+  ``np.maximum.at`` per batch key-group. Each batch emits ONE row per
+  key: ``(key, registers: binary[2^p])``.
+- **merge**: element-wise byte max of register blobs — associative and
+  commutative, so partials combine in any order; routed through the
+  same coarse bucket cogroup as every other aggregate here.
+- **estimate**: the standard HLL harmonic mean with small-range
+  (linear counting) correction — Flajolet et al. 2007, the public
+  algorithm; ±1.04/sqrt(2^p) relative error (p=12 → ~1.6%).
+
+The blob is 4 KiB at p=12 — per KEY, independent of cardinality; the
+shuffle moves |keys| × 4 KiB total, never the values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings, mix64
+
+
+def _rhos(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """hashes -> (register index, rho). rho = 1 + leading zeros of the
+    (64-p)-bit suffix, capped at 64-p+1 (all-zero suffix)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) | ((np.uint64(1) << np.uint64(p)) - np.uint64(1))
+    # leading zeros via float64 exponent would lose precision past 2^53;
+    # use a halving scan instead (6 steps, fully vectorized)
+    lz = np.zeros(len(h), dtype=np.int64)
+    shift = np.uint64(32)
+    cur = w.copy()
+    while shift:
+        mask = cur < (np.uint64(1) << (np.uint64(64) - shift))
+        lz[mask] += int(shift)
+        cur[mask] = cur[mask] << shift
+        shift >>= np.uint64(1)
+    return idx, np.minimum(lz + 1, 64 - p + 1)
+
+
+def hll_partial_batch(batch: pa.Table, key_col: str, value_col: str,
+                      *, p: int = 12, seed: int = 0x411) -> pa.Table:
+    """One register-blob row per distinct key in the batch."""
+    m = 1 << p
+    keys = batch[key_col]
+    enc = keys.combine_chunks().dictionary_encode() \
+        if isinstance(keys, pa.ChunkedArray) else keys.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_keys = enc.dictionary
+    vals = batch[value_col]
+    if pa.types.is_integer(vals.type):
+        v = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix64(v + np.uint64(seed))
+    else:
+        h = hash_strings(vals.cast(pa.string()), seed=seed)
+    idx, rho = _rhos(h, p)
+    regs = np.zeros((len(uniq_keys), m), dtype=np.uint8)
+    np.maximum.at(regs, (codes, idx), rho.astype(np.uint8))
+    return pa.table({
+        key_col: uniq_keys,
+        "hll_regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+    })
+
+
+def hll_merge_blobs(blobs) -> np.ndarray:
+    """Element-wise max over register blobs (any iterable of bytes)."""
+    stack = np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs])
+    return stack.max(axis=0)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with linear-counting small-range fix."""
+    m = regs.size
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_count_hll(ds, key_col: str, value_col: str, *,
+                       p: int = 12, num_buckets: int = 64):
+    """Dataset -> (key, n_distinct_est) via mergeable HLL partials and
+    one coarse bucket cogroup (same shuffle shape as bucket_aggregate).
+    """
+    from .skew import bucket_codes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = hll_partial_batch(batch, key_col, value_col, p=p)
+        b = bucket_codes(out[key_col], num_buckets)
+        return out.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_bucket"])
+        enc = t[key_col].combine_chunks().dictionary_encode() \
+            if isinstance(t[key_col], pa.ChunkedArray) \
+            else t[key_col].dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        blobs = t["hll_regs"].to_pylist()
+        ests = []
+        for c in range(len(enc.dictionary)):
+            merged = hll_merge_blobs(
+                [b for b, cc in zip(blobs, codes) if cc == c])
+            ests.append(round(hll_estimate(merged)))
+        return pa.table({key_col: enc.dictionary,
+                         "n_distinct_est": pa.array(ests, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(final, batch_format="pyarrow"))

@@ -1,0 +1,46 @@
+"""HLL sketch: accuracy vs exact distinct counts, merge associativity."""
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from skosconverter_ray.stages.sketch import (distinct_count_hll,
+                                             hll_estimate,
+                                             hll_merge_blobs,
+                                             hll_partial_batch)
+
+
+def test_hll_pipeline_within_tolerance(ray_session):
+    rng = np.random.RandomState(3)
+    n = 120_000
+    keys = np.array(["alpha", "beta", "gamma"])[rng.randint(0, 3, n)]
+    vals = rng.randint(0, 30_000, n).astype(np.int64)
+    exact = {k: len(set(vals[keys == k])) for k in ("alpha", "beta", "gamma")}
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+    got = {r["k"]: r["n_distinct_est"]
+           for r in distinct_count_hll(ds, "k", "v", num_buckets=8)
+           .take_all()}
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_hll_string_values_and_small_range(ray_session):
+    # linear-counting regime: tiny cardinality must be near-exact
+    rows = [{"k": "only", "v": f"user-{i % 40}"} for i in range(5000)]
+    ds = rd.from_items(rows).repartition(8)
+    got = distinct_count_hll(ds, "k", "v", num_buckets=4).take_all()
+    assert len(got) == 1 and abs(got[0]["n_distinct_est"] - 40) <= 1
+
+
+def test_hll_merge_order_invariant():
+    rng = np.random.RandomState(9)
+    t = pa.table({"k": ["x"] * 9000,
+                  "v": rng.randint(0, 5000, 9000).astype(np.int64)})
+    parts = [hll_partial_batch(t.slice(i * 3000, 3000), "k", "v")
+             .to_pylist()[0]["hll_regs"] for i in range(3)]
+    a = hll_merge_blobs([parts[0], parts[1], parts[2]])
+    b = hll_merge_blobs([parts[2], parts[0], parts[1]])
+    assert np.array_equal(a, b)
+    est = hll_estimate(a)
+    exact = len(set(t["v"].to_pylist()))
+    assert abs(est - exact) / exact < 0.05
