@@ -1280,6 +1280,38 @@ def events_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: trailing time-range rolling aggregate (custom windowed-aggregate
+# operator, oracle = SQL RANGE window frame)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_rolling_1h",
+    """
+    SELECT event_id,
+           count(*) OVER w AS win_n,
+           CAST(sum(CAST(trunc(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             / 100.0 AS win_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h(sf_dir: str):
+    """Per-event trailing 1-hour window over the same user's events
+    (stages/window.py rolling_window): user-bucketed cogroups, ONE
+    searchsorted pair per bucket via disjoint per-segment time domains,
+    cumsum differencing for the sums — exact integer cents, RANGE-frame
+    tie semantics (peers included)."""
+    from .stages.window import rolling_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_window(ds, window_s=3600.0, num_buckets=32)
+    return _collect(out, pa.schema([("event_id", pa.int64()),
+                                    ("win_n", pa.int64()),
+                                    ("win_total", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: as-of join (latest prior purchase per event) — custom temporal
 # join operator, oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------

@@ -90,3 +90,82 @@ def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
     tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(sessions,
                                                 batch_format="pyarrow")
+
+
+def rolling_window(events_ds, *, window_s: float = 3600.0,
+                   num_buckets: int = 32,
+                   _max_segs_per_chunk: int | None = None):
+    """Per-event trailing time-range aggregate — SQL ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` semantics (peers included on
+    timestamp ties, window-start inclusive).
+
+    -> (event_id, win_n, win_total): count and exact integer-cents sum
+    of the same user's events in ``[ts - window_s, ts]``.
+
+    Same partitioning contract as :func:`sessionize` (user % B bucket
+    cogroup; one user per task). The per-group body is ONE pair of
+    ``np.searchsorted`` calls over the whole bucket: each (user, ts)
+    segment is remapped onto a disjoint strictly-increasing global
+    domain ``seg * span + (ts - t0)`` with ``span > max_ts_spread +
+    window``, so a window query can never cross a segment boundary —
+    no per-user Python loop, O(n log n) per bucket.
+    """
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    win_us = np.int64(window_s * 1_000_000)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
+                                pa.int32()),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
+                                              pa.scalar(100.0))),
+                         pa.int64()),
+        })
+
+    def roll(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s, v_s, e_s = u[order], ts[order], v[order], eid[order]
+
+        seg_start = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        seg = np.cumsum(seg_start) - 1
+        # per-segment relative time: span is bounded by the longest
+        # single user's duration, not the corpus time range
+        starts_idx = np.flatnonzero(seg_start)
+        rel = ts_s - ts_s[starts_idx][seg]
+        span = np.int64(rel.max()) + win_us + np.int64(2)
+        n_seg = int(seg[-1]) + 1
+        # segments whose domain fits int64 per chunk (2^62 headroom);
+        # _max_segs_per_chunk exists so tests can force multi-chunk
+        segs_per_chunk = max(1, int((1 << 62) // int(span)))
+        if _max_segs_per_chunk is not None:
+            segs_per_chunk = min(segs_per_chunk, _max_segs_per_chunk)
+        csum = np.concatenate(([0], np.cumsum(v_s)))
+        lo = np.empty(len(ts_s), np.int64)
+        hi = np.empty(len(ts_s), np.int64)
+        for c0 in range(0, n_seg, segs_per_chunk):
+            m = (seg >= c0) & (seg < c0 + segs_per_chunk)
+            base = np.flatnonzero(m)[0]
+            gts = (seg[m] - c0) * span + rel[m]
+            lo[m] = base + np.searchsorted(gts, gts - win_us, side="left")
+            hi[m] = base + np.searchsorted(gts, gts, side="right")
+        return pa.table({
+            "event_id": pa.array(e_s, pa.int64()),
+            "win_n": pa.array(hi - lo, pa.int64()),
+            "win_total": pa.array((csum[hi] - csum[lo]) / 100.0,
+                                  pa.float64()),
+        })
+
+    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(roll,
+                                                batch_format="pyarrow")

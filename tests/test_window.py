@@ -71,3 +71,72 @@ def test_sessionize_bucket_invariance(ray_session):
                            sessionize(rd.from_items(rows), gap_s=3600.0,
                                       num_buckets=16).take_all())))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# rolling_window (trailing time-range aggregate)
+# ---------------------------------------------------------------------------
+
+from skosconverter_ray.stages.window import rolling_window  # noqa: E402
+
+
+def _rolling_oracle(rows, win_s):
+    """O(n^2) sequential RANGE-frame oracle (peers included)."""
+    out = {}
+    for r in rows:
+        n = tot = 0
+        for o in rows:
+            if (o["user_id"] == r["user_id"]
+                    and r["ts"] - dt.timedelta(seconds=win_s) <= o["ts"]
+                    <= r["ts"]):
+                n += 1
+                tot += int(o["value"] * 100)
+        out[r["event_id"]] = (n, tot / 100.0)
+    return out
+
+
+def _rolling_events():
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: events straddling the window edge, incl. an EXACT-edge
+    # pair (3600s apart -> inclusive) and a timestamp TIE (peers)
+    for off in (0, 1800, 3600, 3600, 3601, 9000):
+        rows.append({"event_id": eid, "user_id": 1,
+                     "ts": t0 + dt.timedelta(seconds=off),
+                     "value": 1.0 + eid})
+        eid += 1
+    # user 2: sparse
+    for off in (0, 50000):
+        rows.append({"event_id": eid, "user_id": 2,
+                     "ts": t0 + dt.timedelta(seconds=off),
+                     "value": 0.33})
+        eid += 1
+    return rows
+
+
+def test_rolling_window_matches_oracle(ray_session):
+    rows = _rolling_events()
+    got = {r["event_id"]: (r["win_n"], r["win_total"])
+           for r in rolling_window(rd.from_items(rows), window_s=3600.0,
+                                   num_buckets=4).take_all()}
+    want = _rolling_oracle(rows, 3600.0)
+    assert got == want
+    # ties: the two events at +3600 are peers -> identical frames
+    assert got[2] == got[3]
+
+
+def test_rolling_window_chunked_domain(ray_session):
+    """Force the anti-overflow chunking path (3 segments per chunk,
+    many users in ONE bucket); results must be identical."""
+    rng = np.random.RandomState(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [{"event_id": i, "user_id": int(rng.randint(0, 12)),
+             "ts": t0 + dt.timedelta(seconds=int(rng.randint(0, 20000))),
+             "value": float(rng.randint(0, 500)) / 100.0}
+            for i in range(300)]
+    got = {r["event_id"]: (r["win_n"], r["win_total"])
+           for r in rolling_window(rd.from_items(rows), window_s=2000.0,
+                                   num_buckets=1,
+                                   _max_segs_per_chunk=3).take_all()}
+    assert got == _rolling_oracle(rows, 2000.0)
