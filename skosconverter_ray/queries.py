@@ -1280,6 +1280,66 @@ def events_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: broadcast interval join (non-equi range join; bands OVERLAP so
+# a row can match several — join semantics, not binning)
+# ---------------------------------------------------------------------------
+
+_VALUE_BANDS = [("low", 0.0, 60.0), ("mid", 30.0, 120.0),
+                ("high", 90.0, 1e18)]
+
+
+@_q(
+    "events_value_bands",
+    """
+    SELECT b.band AS band, count(*) AS n,
+           CAST(sum(CAST(trunc(e.value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 60.0), ('mid', 30.0, 120.0),
+                 ('high', 90.0, 1e18)) AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def events_value_bands(sf_dir: str):
+    """Range join events.value against overlapping [lo, hi) bands
+    (stages/rangejoin.py): elementary-segment index broadcast once,
+    one searchsorted per batch, then a 3-key count/sum aggregate with
+    exact integer cents."""
+    from .stages.rangejoin import interval_join
+    from .stages.skew import bucket_aggregate
+
+    bands = pa.table({
+        "band": pa.array([b[0] for b in _VALUE_BANDS], pa.string()),
+        "lo": pa.array([b[1] for b in _VALUE_BANDS], pa.float64()),
+        "hi": pa.array([b[2] for b in _VALUE_BANDS], pa.float64()),
+    })
+    ds = _read(sf_dir, "events", ["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"band": batch["band"],
+                         "v": _to_cents(batch["value"])})
+
+    joined = interval_join(ds, bands, on="value") \
+        .map_batches(cents, batch_format="pyarrow")
+    out = bucket_aggregate(joined, ["band"],
+                           [("count", None, "n"), ("sum", "v", "cents")])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": batch["band"],
+            "n": batch["n"],
+            "total": pc.divide(pc.cast(batch["cents"], pa.float64()),
+                               pa.scalar(100.0)),
+        })
+
+    out = out.map_batches(fin, batch_format="pyarrow")
+    return _collect(out, pa.schema([("band", pa.string()),
+                                    ("n", pa.int64()),
+                                    ("total", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: trailing time-range rolling aggregate (custom windowed-aggregate
 # operator, oracle = SQL RANGE window frame)
 # ---------------------------------------------------------------------------
