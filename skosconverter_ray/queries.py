@@ -1280,6 +1280,50 @@ def events_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events ⋉ orders: Bloom-prefiltered semi-join (broadcast bits instead
+# of shuffling the corpus-sized side; exact verify restores set parity)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_of_big_spenders",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id IN (SELECT o_custkey FROM orders
+                      WHERE o_totalprice > 480000)
+    GROUP BY event_type
+    """,
+)
+def events_of_big_spenders(sf_dir: str):
+    """Semi-join events to customers holding a >480k order
+    (stages/bloom.py): per-block Bloom partials OR-merged, broadcast
+    once; batches drop non-members at k bit probes/row, exact-verified
+    against the broadcast key set. The corpus side never shuffles on
+    the join key — only the post-filter aggregate exchanges rows."""
+    from .stages.bloom import semi_join_bloom
+    from .stages.skew import bucket_aggregate
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    spenders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 480000")
+    kept = semi_join_bloom(events, spenders, on="user_id",
+                           small_on="o_custkey", n_expected=4096)
+    # distinct-user count: dedup (event_type, user_id) first — both
+    # steps ride the same coarse bucket cogroup
+    pairs = bucket_aggregate(kept, ["event_type", "user_id"],
+                             [("count", None, "n")])
+    out = bucket_aggregate(pairs, ["event_type"],
+                           [("sum", "n", "n_events"),
+                            ("count", None, "n_users")])
+    return _collect(out.select_columns(["event_type", "n_events",
+                                        "n_users"]),
+                    pa.schema([("event_type", pa.string()),
+                               ("n_events", pa.int64()),
+                               ("n_users", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: broadcast interval join (non-equi range join; bands OVERLAP so
 # a row can match several — join semantics, not binning)
 # ---------------------------------------------------------------------------
