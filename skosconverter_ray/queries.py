@@ -735,6 +735,56 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the verified pair graph
+# (oracle = recursive-CTE transitive closure over brute-force pairs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dedup_clusters",
+    r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a
+    """,
+)
+def doc_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: MinHash+LSH verified pairs ->
+    connected components (stages/dedup.neardup_clusters, riding
+    canonicalize.components_min_label's driver/distributed paths);
+    representative = numeric-min doc of the component. Every member of
+    a multi-doc cluster gets a row, reps map to themselves — the
+    keep-one-per-cluster dedup is then a trivial anti-join."""
+    from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    out = neardup_clusters(pairs)
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("rep_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # HLL distinct-count sketch (approximate -> rows-only; accuracy is
 # pytest-asserted against exact counts at 5% tolerance)
 # ---------------------------------------------------------------------------
@@ -1277,6 +1327,69 @@ def events_sessions(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     return sessionize(ds, gap_s=4 * 3600.0, num_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: per-label centroid — mergeable vector aggregate. Partials
+# are integer micro-unit sums (exact under any reduction order), so the
+# engine matches the SQL oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_centroids",
+    """
+    SELECT label, i AS dim,
+           CAST(sum(CAST(trunc(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / count(*) / 1000000.0 AS c
+    FROM (SELECT label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(sf_dir: str):
+    """Mean embedding per label: per-batch combiner does one
+    ``np.add.at`` of trunc(v·1e6) int64 sums per label (zero-copy
+    matrix view of the list column), emitting |labels|·d partial rows;
+    one coarse-bucket merge sums partials. The shuffle moves
+    |labels|·d·|blocks| ints — never a vector row."""
+    from .functions.arrays import list_column_to_matrix
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(batch["embedding"], np.float64)
+        ints = np.trunc(mat * 1e6).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.int64)
+        np.add.at(sums, inv, ints)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = mat.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int32()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucket_aggregate(part, ["label", "dim"],
+                           [("sum", "s", "s"), ("sum", "n", "n")],
+                           num_buckets=16)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"label": batch["label"], "dim": batch["dim"],
+                         "c": pa.array(s / n / 1e6, pa.float64())})
+
+    out = out.map_batches(fin, batch_format="pyarrow")
+    return _collect(out, pa.schema([("label", pa.int32()),
+                                    ("dim", pa.int64()),
+                                    ("c", pa.float64())]))
 
 
 # ---------------------------------------------------------------------------

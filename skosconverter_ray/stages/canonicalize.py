@@ -89,6 +89,22 @@ def canonical_map(triples_ds, *, max_rounds: int = 64,
     propagated labels ("0|uri" < "1|uri"), which keeps the whole
     algorithm a plain string-min.
     """
+    return components_min_label(equivalence_edges(triples_ds),
+                                max_rounds=max_rounds,
+                                preferred_ns=preferred_ns,
+                                num_buckets=num_buckets)
+
+
+def components_min_label(edges_ds, *, max_rounds: int = 64,
+                         preferred_ns: str | None = None,
+                         num_buckets: int = 64):
+    """Connected components over symmetric (node, peer) string edges ->
+    (uri, canonical_uri) non-trivial member rows; representative = min
+    by (rank, value). The general primitive behind
+    :func:`canonical_map` — near-dup cluster assignment reuses it with
+    padded numeric ids. Driver union-find fast path below
+    ``GRAFT_UF_DRIVER_MAX`` edges; distributed pointer-doubling
+    hash-min propagation (bounded driver memory) above it."""
     from ray.data.aggregate import Min, Sum
 
     from ..functions.hashing import bucket_of
@@ -98,7 +114,7 @@ def canonical_map(triples_ds, *, max_rounds: int = 64,
             return "0|" + uri
         return "1|" + uri
 
-    edges = equivalence_edges(triples_ds).materialize()
+    edges = edges_ds.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         import ray.data as rd

@@ -547,3 +547,66 @@ def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
                          "cos_sim": pa.array(cs, pa.float64())})
 
     return emb_ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment: near-dup pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(pairs_ds, *, id_a: str = "doc_a", id_b: str = "doc_b"):
+    """(id_a, id_b) near-dup pairs -> (doc_id, rep_id) for EVERY member
+    of every multi-doc component (reps map to themselves).
+
+    Components are solved by stages/canonicalize.components_min_label —
+    the same primitive as URI canonicalization, inheriting both its
+    driver union-find fast path and the distributed pointer-doubling
+    hash-min scale path. Int ids ride as zero-padded strings so the
+    propagation's lexicographic min IS the numeric min.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import components_min_label
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = pc.utf8_lpad(pc.cast(batch[id_a], pa.string()), 20, "0")
+        b = pc.utf8_lpad(pc.cast(batch[id_b], pa.string()), 20, "0")
+        return pa.table({
+            "node": pa.concat_arrays([a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a,
+                                      b.combine_chunks()
+                                      if isinstance(b, pa.ChunkedArray)
+                                      else b]),
+            "peer": pa.concat_arrays([b.combine_chunks()
+                                      if isinstance(b, pa.ChunkedArray)
+                                      else b,
+                                      a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a]),
+        })
+
+    labels = components_min_label(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow"))
+
+    def members(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["uri"], pa.int64()),
+            "rep_id": pc.cast(batch["canonical_uri"], pa.int64()),
+        })
+
+    member_rows = labels.map_batches(members, batch_format="pyarrow")
+
+    # each representative once, mapped to itself
+    from .skew import bucket_aggregate
+
+    reps = bucket_aggregate(
+        labels.select_columns(["canonical_uri"]),
+        ["canonical_uri"], [("count", None, "_n")], num_buckets=16)
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        r = pc.cast(batch["canonical_uri"], pa.int64())
+        return pa.table({"doc_id": r, "rep_id": r})
+
+    return member_rows.union(
+        reps.map_batches(rep_rows, batch_format="pyarrow"))

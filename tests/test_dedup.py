@@ -365,3 +365,40 @@ def test_frame_sampler_real_wav_durations(ray_session):
     fs2 = mm.FrameSampler(every_s=2.0, max_frames=4)
     plan2 = fs2(docs)
     assert set(plan2["frame_rms"].to_pylist()) == {-1.0}
+
+
+# ---------------------------------------------------------------------------
+# neardup_clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_clusters_chain_and_triangle(ray_session):
+    import ray.data as rd
+
+    from skosconverter_ray.stages.dedup import neardup_clusters
+
+    # chain 1-2-3 (transitive!), triangle 10-11-12, isolated pair 20-21
+    pairs = [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = sorted((r["doc_id"], r["rep_id"])
+                 for r in neardup_clusters(ds).take_all())
+    assert got == [(1, 1), (2, 1), (3, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)]
+
+
+def test_neardup_clusters_distributed_path(ray_session, monkeypatch):
+    """Same result through the hash-min propagation scale path."""
+    import ray.data as rd
+
+    from skosconverter_ray.stages import canonicalize
+    from skosconverter_ray.stages.dedup import neardup_clusters
+
+    monkeypatch.setattr(canonicalize, "_DRIVER_UF_MAX", 0)
+    pairs = [(2, 1), (2, 3), (10, 11), (11, 12), (20, 21)]
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = sorted((r["doc_id"], r["rep_id"])
+                 for r in neardup_clusters(ds).take_all())
+    assert got == [(1, 1), (2, 1), (3, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)]
