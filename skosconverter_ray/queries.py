@@ -735,6 +735,36 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: per-key exact quantiles (order statistics; element pick ==
+# SQL quantile_disc, so doubles match bit-for-bit)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (stages/quantile.py): one
+    bucket cogroup + one lexsort per bucket, ceil(q*n)-1 element picks
+    — quantile_disc semantics, no interpolation, no rounding."""
+    from .stages.quantile import per_key_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = per_key_quantiles(ds, "event_type", "value",
+                            {"p50": 0.5, "p95": 0.95, "p99": 0.99})
+    return _collect(out, pa.schema([("event_type", pa.string()),
+                                    ("p50", pa.float64()),
+                                    ("p95", pa.float64()),
+                                    ("p99", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the verified pair graph
 # (oracle = recursive-CTE transitive closure over brute-force pairs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,41 @@
+"""Per-key quantiles: quantile_disc index parity vs DuckDB on random
+data, bucket invariance, duplicate values."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from skosconverter_ray.stages.quantile import per_key_quantiles
+
+
+def _run(rows, qs, num_buckets=8):
+    got = per_key_quantiles(rd.from_items(rows).repartition(4),
+                            "k", "v", qs,
+                            num_buckets=num_buckets).take_all()
+    return {r["k"]: tuple(r[a] for a in qs) for r in got}
+
+
+def test_matches_duckdb_random(ray_session):
+    rng = np.random.RandomState(21)
+    rows = [{"k": f"k{rng.randint(0, 6)}",
+             "v": float(np.round(rng.uniform(0, 100), 2))}
+            for _ in range(4000)]
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = _run(rows, qs)
+    t = pa.table({"k": [r["k"] for r in rows],
+                  "v": [r["v"] for r in rows]})
+    want = {k: (a, b, c, d) for k, a, b, c, d in duckdb.sql(
+        """SELECT k, quantile_disc(v, 0.1), quantile_disc(v, 0.5),
+                  quantile_disc(v, 0.9), quantile_disc(v, 0.99)
+           FROM t GROUP BY k""").fetchall()}
+    assert got == want
+
+
+def test_duplicates_and_tiny_groups(ray_session):
+    rows = ([{"k": "dup", "v": 5.0}] * 9
+            + [{"k": "one", "v": 3.25}]
+            + [{"k": "two", "v": v} for v in (1.0, 2.0)])
+    got = _run(rows, {"p50": 0.5, "p99": 0.99}, num_buckets=2)
+    assert got == {"dup": (5.0, 5.0), "one": (3.25, 3.25),
+                   "two": (1.0, 2.0)}
