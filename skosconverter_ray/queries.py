@@ -735,6 +735,47 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: frequent terms via a mergeable Misra-Gries sketch. At
+# oracle scale capacity > |vocab| so estimates are exact; the
+# over-capacity approximation bound is pytest-pinned (test_sketch.py).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_top_terms",
+    r"""
+    SELECT tok AS item, count(*) AS est FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents)
+    GROUP BY tok ORDER BY est DESC, item LIMIT 20
+    """,
+)
+def doc_top_terms(sf_dir: str):
+    """Top-20 corpus terms (stages/sketch.frequent_items): per-batch
+    MG summaries (≤ capacity rows each) merged by one coarse-bucket
+    sum — the token stream itself never shuffles. Deterministic
+    (count desc, term asc) tiebreak on the summary-sized result."""
+    from .stages.sketch import frequent_items
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        return pa.table({
+            "tok": pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(col), r"\s+").flatten(),
+        })
+
+    est = frequent_items(ds.map_batches(toks, batch_format="pyarrow"),
+                         "tok", capacity=4096)
+    t = _collect(est, pa.schema([("item", pa.string()),
+                                 ("est", pa.int64())]))
+    order = pc.sort_indices(t, sort_keys=[("est", "descending"),
+                                          ("item", "ascending")])
+    return t.take(order).slice(0, 20)
+
+
+# ---------------------------------------------------------------------------
 # Events: per-key exact quantiles (order statistics; element pick ==
 # SQL quantile_disc, so doubles match bit-for-bit)
 # ---------------------------------------------------------------------------

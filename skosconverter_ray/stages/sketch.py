@@ -118,3 +118,58 @@ def distinct_count_hll(ds, key_col: str, value_col: str, *,
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("_bucket")
               .map_groups(final, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries / mergeable-summaries heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def mg_partial_counts(items, capacity: int) -> pa.Table:
+    """Exact value_counts truncated to a Misra-Gries summary of size
+    ``capacity``: when the batch has more distinct items, every kept
+    estimate is decremented by the (capacity+1)-th largest count and
+    non-positive rows drop — the classic MG decrement, vectorized.
+    Invariant per partial: ``true - n_batch/(capacity+1) <= est <=
+    true`` (Agarwal et al., Mergeable Summaries, PODS'12 — public
+    algorithm)."""
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    vc = items.value_counts()
+    vals, counts = vc.field("values"), vc.field("counts")
+    cnt = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(cnt) > capacity:
+        order = np.argsort(-cnt, kind="stable")
+        thresh = cnt[order[capacity]]
+        keep = order[:capacity]
+        est = cnt[keep] - thresh
+        pos = est > 0
+        vals = vals.take(pa.array(keep[pos], pa.int64()))
+        est = est[pos]
+    else:
+        est = cnt
+    return pa.table({"item": vals, "est": pa.array(est, pa.int64())})
+
+
+def frequent_items(ds, col: str, *, capacity: int = 4096,
+                   num_buckets: int = 16):
+    """Dataset -> (item, est) mergeable heavy-hitter estimates.
+
+    Map side: one MG summary per batch (≤ ``capacity`` rows — the
+    shuffle moves summaries, never the token stream). Merge: per-item
+    SUM of partial estimates through one coarse bucket cogroup
+    (summing MG partials keeps the one-sided bound: est <= true,
+    true - est <= Σ n_block/(capacity+1) = N/(capacity+1)).
+    Result size ≤ blocks × capacity — callers take the global top-k
+    from it. When ``capacity`` exceeds the distinct-item count the
+    estimates are EXACT (the oracle-gate regime); past capacity the
+    bound above is pytest-pinned.
+    """
+    from .skew import bucket_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return mg_partial_counts(batch[col], capacity)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucket_aggregate(parts, ["item"], [("sum", "est", "est")],
+                            num_buckets=num_buckets)

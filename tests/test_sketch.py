@@ -44,3 +44,62 @@ def test_hll_merge_order_invariant():
     est = hll_estimate(a)
     exact = len(set(t["v"].to_pylist()))
     assert abs(est - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# frequent_items (Misra-Gries heavy hitters)
+# ---------------------------------------------------------------------------
+
+from skosconverter_ray.stages.sketch import (frequent_items,  # noqa: E402
+                                             mg_partial_counts)
+
+
+def test_mg_partial_bound():
+    """est <= true and true - est <= n/(capacity+1) after truncation."""
+    rng = np.random.RandomState(17)
+    items = rng.zipf(1.5, 20000).astype(str)
+    true = {}
+    for x in items:
+        true[x] = true.get(x, 0) + 1
+    t = mg_partial_counts(pa.array(items), 64)
+    got = dict(zip(t["item"].to_pylist(), t["est"].to_pylist()))
+    assert len(got) <= 64
+    bound = len(items)  # truncation subtracts the 65th count once
+    for item, est in got.items():
+        assert est <= true[item]
+        assert true[item] - est <= bound
+    # every item with true count > subtracted threshold survives:
+    # the top heavy hitter must be present and near-exact
+    top = max(true, key=true.get)
+    assert top in got
+    assert true[top] - got[top] <= sorted(true.values())[-65] \
+        if len(true) > 64 else True
+
+
+def test_frequent_items_exact_under_capacity(ray_session):
+    rows = [{"t": w} for w in
+            ["apple"] * 50 + ["pear"] * 30 + ["plum"] * 5]
+    ds = rd.from_items(rows).repartition(6)
+    got = {r["item"]: r["est"]
+           for r in frequent_items(ds, "t", capacity=100,
+                                   num_buckets=4).take_all()}
+    assert got == {"apple": 50, "pear": 30, "plum": 5}
+
+
+def test_frequent_items_heavy_hitters_past_capacity(ray_session):
+    """Over capacity: heavy hitters survive the merge with one-sided
+    error <= N/(capacity+1) summed per block."""
+    rng = np.random.RandomState(23)
+    light = [f"w{i}" for i in rng.randint(0, 5000, 30000)]
+    heavy = ["HOT-A"] * 4000 + ["HOT-B"] * 2500
+    allw = np.array(light + heavy)
+    rng.shuffle(allw)
+    ds = rd.from_items([{"t": w} for w in allw.tolist()]).repartition(8)
+    got = {r["item"]: r["est"]
+           for r in frequent_items(ds, "t", capacity=256,
+                                   num_buckets=4).take_all()}
+    n = len(allw)
+    for hot, true in (("HOT-A", 4000), ("HOT-B", 2500)):
+        assert hot in got
+        assert got[hot] <= true
+        assert true - got[hot] <= n / 257 + 1
