@@ -735,6 +735,47 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: deterministic per-key sample — min-k over an SQL-expressible
+# multiplicative hash, so the "random" sample is oracle-reproducible
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_sample_per_type",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id * 2654435761) % 4294967296, event_id
+             ) AS rn
+      FROM events) WHERE rn <= 20
+    """,
+)
+def events_sample_per_type(sf_dir: str):
+    """Deterministic 20-row-per-type sample: rank by a Knuth
+    multiplicative hash of the row id (uniform-ish, seedable by
+    changing the multiplier, and exactly reproducible in SQL), select
+    via the partial-top-k operator — the shuffle sees ≤ k rows per
+    (batch, key), never the corpus."""
+    from .stages.topk import top_k_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_h", pa.array((eid * 2654435761) % 4294967296, pa.int64()))
+
+    out = top_k_per_key(ds.map_batches(h, batch_format="pyarrow"),
+                        ["event_type"], "_h", 20,
+                        descending=False, tiebreak="event_id",
+                        num_buckets=8)
+    return _collect(out.select_columns(["event_id", "event_type"]),
+                    pa.schema([("event_id", pa.int64()),
+                               ("event_type", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: frequent terms via a mergeable Misra-Gries sketch. At
 # oracle scale capacity > |vocab| so estimates are exact; the
 # over-capacity approximation bound is pytest-pinned (test_sketch.py).
