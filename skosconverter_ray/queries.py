@@ -1505,6 +1505,103 @@ def embedding_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Embeddings ⋈ documents: cross-modal join + per-language centroid.
+# Both sides are corpus-sized at scale -> bucket-cogroup hash join,
+# then the same exact integer-microunit vector aggregate.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lang_centroids",
+    """
+    SELECT d.lang AS lang, i AS dim,
+           CAST(sum(CAST(trunc(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / count(*) / 1000000.0 AS c
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) v
+    JOIN documents d ON v.vec_id = d.doc_id
+    GROUP BY d.lang, i
+    """,
+)
+def lang_centroids(sf_dir: str):
+    """Mean embedding per document language: embeddings ⋈ documents on
+    id (cogroup hash join — both sides corpus-sized, one shuffle each),
+    then per-batch int64 micro-unit partial sums per lang merged in a
+    coarse-bucket cogroup (exact under any reduction order)."""
+    from .functions.arrays import list_column_to_matrix
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    # Arrow's local join rejects list<float> payload columns — ship the
+    # vector as one binary blob per row (zero-copy view of the child
+    # buffer), decode with a single frombuffer after the join
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch["embedding"], np.float32)
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(mat.shape[1] * 4), mat.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+        return pa.table({"vec_id": batch["vec_id"], "emb": blob})
+
+    joined = cogroup_join(
+        emb.map_batches(pack, batch_format="pyarrow"), docs,
+        left_on="vec_id", right_on="doc_id",
+        num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("emb", pa.binary(256))]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"]
+        enc = langs.combine_chunks().dictionary_encode() \
+            if isinstance(langs, pa.ChunkedArray) \
+            else langs.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["emb"].combine_chunks() \
+            if isinstance(batch["emb"], pa.ChunkedArray) else batch["emb"]
+        width = col.type.byte_width
+        mat = np.frombuffer(
+            col.buffers()[-1], np.float32,
+            count=len(col) * (width // 4),
+            offset=col.offset * width,
+        ).reshape(len(col), width // 4).astype(np.float64)
+        ints = np.trunc(mat * 1e6).astype(np.int64)
+        sums = np.zeros((len(enc.dictionary), mat.shape[1]), np.int64)
+        np.add.at(sums, inv, ints)
+        counts = np.bincount(inv, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        d = mat.shape[1]
+        return pa.table({
+            "lang": enc.dictionary.take(
+                pa.array(np.repeat(np.arange(len(enc.dictionary)), d),
+                         pa.int64())),
+            "dim": pa.array(np.tile(np.arange(1, d + 1),
+                                    len(enc.dictionary)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    part = joined.map_batches(partial, batch_format="pyarrow")
+    out = bucket_aggregate(part, ["lang", "dim"],
+                           [("sum", "s", "s"), ("sum", "n", "n")],
+                           num_buckets=8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"lang": batch["lang"], "dim": batch["dim"],
+                         "c": pa.array(s / n / 1e6, pa.float64())})
+
+    out = out.map_batches(fin, batch_format="pyarrow")
+    return _collect(out, pa.schema([("lang", pa.string()),
+                                    ("dim", pa.int64()),
+                                    ("c", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events ⋉ orders: Bloom-prefiltered semi-join (broadcast bits instead
 # of shuffling the corpus-sized side; exact verify restores set parity)
 # ---------------------------------------------------------------------------
