@@ -776,6 +776,78 @@ def events_sample_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: per-group z-score normalization — the two-pass broadcast
+# pattern (tiny stats aggregate, then a stateless normalize map). The
+# SQL spells the IDENTICAL float expression, so doubles match exactly.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_chars_zscore",
+    """
+    WITH st AS (
+      SELECT lang, count(*) AS n, sum(n_chars) AS s,
+             sum(n_chars * n_chars) AS q
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id,
+           (d.n_chars - CAST(s AS DOUBLE) / n)
+             / sqrt(CAST(q AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             AS z
+    FROM documents d JOIN st USING (lang)
+    """,
+)
+def doc_chars_zscore(sf_dir: str):
+    """Per-language z-score of document length: pass 1 is a combiner
+    groupby of exact integer (n, Σx, Σx²) per lang; the |langs|-row
+    stats table broadcasts via ray.put and pass 2 normalizes each
+    batch statelessly — the corpus never shuffles."""
+    import ray
+
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def sq(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": batch["lang"],
+                         "x": batch["n_chars"],
+                         "xx": pa.array(x * x, pa.int64())})
+
+    stats = bucket_aggregate(
+        ds.map_batches(sq, batch_format="pyarrow"), ["lang"],
+        [("count", None, "n"), ("sum", "x", "s"), ("sum", "xx", "q")],
+        num_buckets=4)
+    st: dict = {}
+    for b in stats.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for lang, n, s, q in zip(b["lang"].to_pylist(),
+                                 b["n"].to_pylist(), b["s"].to_pylist(),
+                                 b["q"].to_pylist()):
+            st[lang] = (float(n), float(s), float(q))
+    ref = ray.put(st)
+
+    def norm(batch: pa.Table, _ref=ref) -> pa.Table:
+        stats_map = ray.get(_ref)
+        col = batch["lang"].combine_chunks() \
+            if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"]
+        enc = col.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        per_lang = np.array([stats_map[la]
+                             for la in enc.dictionary.to_pylist()])
+        n, s, q = (per_lang[inv, i] for i in range(3))
+        x = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mean = s / n
+        z = (x - mean) / np.sqrt(q / n - mean * mean)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "z": pa.array(z, pa.float64())})
+
+    out = ds.map_batches(norm, batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("z", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: frequent terms via a mergeable Misra-Gries sketch. At
 # oracle scale capacity > |vocab| so estimates are exact; the
 # over-capacity approximation bound is pytest-pinned (test_sketch.py).
