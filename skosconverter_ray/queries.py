@@ -919,6 +919,30 @@ def events_value_quantiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: DDSketch quantiles — the mergeable scale path behind
+# events_value_quantiles (approximate -> rows-only; the <=1% relative
+# error bound is pytest-pinned against exact order statistics)
+# ---------------------------------------------------------------------------
+
+@_q("events_value_quantiles_sketch")
+def events_value_quantiles_sketch(sf_dir: str):
+    """Same output shape as events_value_quantiles via the log-binned
+    mergeable histogram (stages/sketch.dd_quantiles): the shuffle
+    moves (key, bin, count) histogram rows — never values — so per-key
+    state is ~log(range)/rel_err regardless of row count."""
+    from .stages.sketch import dd_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = dd_quantiles(ds, "event_type", "value",
+                       {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+                       rel_err=0.01)
+    return _collect(out, pa.schema([("event_type", pa.string()),
+                                    ("p50", pa.float64()),
+                                    ("p95", pa.float64()),
+                                    ("p99", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the verified pair graph
 # (oracle = recursive-CTE transitive closure over brute-force pairs)
 # ---------------------------------------------------------------------------

@@ -39,3 +39,45 @@ def test_duplicates_and_tiny_groups(ray_session):
     got = _run(rows, {"p50": 0.5, "p99": 0.99}, num_buckets=2)
     assert got == {"dup": (5.0, 5.0), "one": (3.25, 3.25),
                    "two": (1.0, 2.0)}
+
+
+# ---------------------------------------------------------------------------
+# dd_quantiles (mergeable DDSketch scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_ddsketch_within_relative_error(ray_session):
+    from skosconverter_ray.stages.sketch import dd_quantiles
+
+    rng = np.random.RandomState(31)
+    rows = [{"k": f"k{rng.randint(0, 4)}",
+             "v": float(rng.lognormal(2.0, 1.5))} for _ in range(20000)]
+    # a key with zeros exercises the exact zero bin
+    rows += [{"k": "zeroes", "v": 0.0}] * 50 + [{"k": "zeroes", "v": 8.0}]
+    qs = {"p50": 0.5, "p95": 0.95}
+    got = {r["k"]: {a: r[a] for a in qs}
+           for r in dd_quantiles(rd.from_items(rows).repartition(8),
+                                 "k", "v", qs, rel_err=0.01).take_all()}
+    vals = {}
+    for r in rows:
+        vals.setdefault(r["k"], []).append(r["v"])
+    for k, vs in vals.items():
+        vs = np.sort(vs)
+        for a, q in qs.items():
+            exact = vs[int(np.ceil(q * len(vs))) - 1]
+            est = got[k][a]
+            if exact == 0.0:
+                assert est == 0.0
+            else:
+                assert abs(est - exact) / exact <= 0.0101, (k, a, est, exact)
+
+
+def test_ddsketch_negative_rejected(ray_session):
+    from skosconverter_ray.stages.sketch import dd_quantiles
+
+    import pytest
+    import ray
+
+    ds = rd.from_items([{"k": "a", "v": -1.0}])
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        dd_quantiles(ds, "k", "v", {"p50": 0.5}).take_all()
