@@ -735,6 +735,115 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: dimension broadcast semi-filter +
+# pre-aggregated fact side + one cogroup join + partial top-k
+# ---------------------------------------------------------------------------
+
+@_q(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(trunc(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority(sf_dir: str):
+    """Q3 shape, Ray-Data-first: BUILDING custkeys broadcast as an
+    is_in set (customer is dimension-sized), orders date-filtered and
+    semi-filtered in one map; lineitem ship-date-filtered then
+    pre-aggregated to |orders| rows BEFORE the single cogroup join;
+    top-10 via per-block partial top-k + one tiny global sort."""
+    import datetime as dt
+
+    import ray
+
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+    from .stages.topk import top_k_per_key
+
+    cutoff = pa.scalar(dt.datetime(1995, 3, 15), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = set()
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        keys.update(t["c_custkey"].to_pylist())
+    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+
+    def ofilt(batch: pa.Table, _ref=keys_ref) -> pa.Table:
+        ks = ray.get(_ref)
+        mask = pc.and_(pc.less(batch["o_orderdate"], cutoff),
+                       pc.is_in(batch["o_custkey"], value_set=ks))
+        t = batch.filter(mask)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofilt, batch_format="pyarrow")
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": _to_cents(r)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    per_order = bucket_aggregate(
+        li.map_batches(lrev, batch_format="pyarrow"),
+        ["l_orderkey"], [("sum", "rev", "cents")])
+
+    joined = cogroup_join(
+        per_order, orders, left_on="l_orderkey", right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def tag_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.zeros(batch.num_rows, np.int8)))
+
+    top = top_k_per_key(
+        joined.map_batches(tag_const, batch_format="pyarrow"),
+        ["_one"], "cents", 10, descending=True, tiebreak="l_orderkey",
+        num_buckets=1)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue": pc.divide(pc.cast(batch["cents"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "o_orderdate": pa.array(
+                np.datetime_as_string(ts, unit="D").tolist(), pa.string()),
+        })
+
+    t = _collect(top.map_batches(fin, batch_format="pyarrow"),
+                 pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue", pa.float64()),
+                            ("o_orderdate", pa.string())]))
+    order = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                          ("l_orderkey", "ascending")])
+    return t.take(order).slice(0, 10)
+
+
+# ---------------------------------------------------------------------------
 # Events: deterministic per-key sample — min-k over an SQL-expressible
 # multiplicative hash, so the "random" sample is oracle-reproducible
 # ---------------------------------------------------------------------------
