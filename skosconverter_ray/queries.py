@@ -735,6 +735,53 @@ def doc_dedup_minhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Iterative graph computation: PageRank over the supplier->part graph
+# (rows-only: float power iteration has no SQL oracle; the algorithm
+# is pinned against a sequential dense oracle in tests/test_graph.py)
+# ---------------------------------------------------------------------------
+
+@_q("graph_pagerank")
+def graph_pagerank(sf_dir: str):
+    """PageRank (5 synchronous rounds, d=0.85) over the bipartite
+    supplier->part edge list from lineitem (stages/graph.py): per
+    round one cogroup join (edges ⋈ ranks) + one coarse-bucket
+    contribution sum; the driver only ever sees the dangling-mass
+    scalar. Returns the 20 highest-ranked nodes."""
+    from .stages.graph import pagerank
+    from .stages.topk import top_k_per_key
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["s"] * batch.num_rows),
+                pc.cast(batch["l_suppkey"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["p"] * batch.num_rows),
+                pc.cast(batch["l_partkey"], pa.string()), ""),
+        })
+
+    ranks = pagerank(li.map_batches(edges, batch_format="pyarrow"),
+                     n_iter=5, num_buckets=16)
+
+    def tag_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.zeros(batch.num_rows, np.int8)))
+
+    top = top_k_per_key(
+        ranks.map_batches(tag_const, batch_format="pyarrow"),
+        ["_one"], "rank", 20, descending=True, tiebreak="node",
+        num_buckets=1)
+    t = _collect(top.select_columns(["node", "rank"]),
+                 pa.schema([("node", pa.string()),
+                            ("rank", pa.float64())]))
+    order = pc.sort_indices(t, sort_keys=[("rank", "descending"),
+                                          ("node", "ascending")])
+    return t.take(order).slice(0, 20)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3-style shipping priority: dimension broadcast semi-filter +
 # pre-aggregated fact side + one cogroup join + partial top-k
 # ---------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""PageRank vs a sequential dense-matrix oracle."""
+
+import numpy as np
+import ray.data as rd
+
+from skosconverter_ray.stages.graph import pagerank
+
+
+def _oracle(edges, n_iter=20, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        for s, t in edges:
+            nxt[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (nxt + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(edges, **kw):
+    ds = rd.from_items([{"src": s, "dst": t} for s, t in edges])
+    return {r["node"]: r["rank"]
+            for r in pagerank(ds, num_buckets=4, **kw).take_all()}
+
+
+def test_pagerank_matches_oracle_with_dangling(ray_session):
+    # b and d have no out-edges (dangling); c is a hub
+    edges = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "b"),
+             ("e", "c"), ("e", "d"), ("f", "c")]
+    got = _run(edges, n_iter=6)
+    want = _oracle(edges, n_iter=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_uniform(ray_session):
+    # pure cycle: stationary distribution is uniform
+    edges = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n0")]
+    got = _run(edges, n_iter=5)
+    for v, r in got.items():
+        assert abs(r - 0.25) < 1e-12, (v, r)
