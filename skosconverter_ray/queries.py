@@ -932,6 +932,120 @@ def events_sample_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: ROLLUP grouping-sets aggregate — three combiner groupbys
+# (fine, mid, grand) unioned; each level is its own map-side combine
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_rollup",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def doc_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): the three grouping sets each run
+    as an independent combiner aggregate over the same scan (no
+    re-read: one shared upstream), then union — the classic
+    distributed rollup plan; totals are exact ints."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"]) \
+        .materialize()
+
+    fine = bucket_aggregate(ds, ["lang", "source"],
+                            [("count", None, "n"),
+                             ("sum", "n_chars", "chars")], num_buckets=8)
+    mid = bucket_aggregate(ds.select_columns(["lang", "n_chars"]),
+                           ["lang"],
+                           [("count", None, "n"),
+                            ("sum", "n_chars", "chars")], num_buckets=4)
+
+    def add_all_source(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "source": pa.array(["ALL"] * batch.num_rows),
+                         "n": batch["n"], "chars": batch["chars"]})
+
+    import ray.data as rd
+
+    n_tot = 0
+    c_tot = 0
+    for b in mid.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n_tot += int(pc.sum(b["n"]).as_py() or 0)
+        c_tot += int(pc.sum(b["chars"]).as_py() or 0)
+    grand = rd.from_arrow(pa.table({
+        "lang": pa.array(["ALL"]), "source": pa.array(["ALL"]),
+        "n": pa.array([n_tot], pa.int64()),
+        "chars": pa.array([c_tot], pa.int64())}))
+
+    out = fine.union(mid.map_batches(add_all_source,
+                                     batch_format="pyarrow")) \
+              .union(grand)
+    return _collect(out.select_columns(["lang", "source", "n", "chars"]),
+                    pa.schema([("lang", pa.string()),
+                               ("source", pa.string()),
+                               ("n", pa.int64()),
+                               ("chars", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Documents: per-group sorted string aggregation (collect-list family)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lang_sources_concat",
+    """
+    SELECT lang, string_agg(source, ',' ORDER BY source) AS sources
+    FROM (SELECT DISTINCT lang, source FROM documents) GROUP BY lang
+    """,
+)
+def lang_sources_concat(sf_dir: str):
+    """Distinct (lang, source) pairs via one combiner aggregate, then
+    a per-lang sorted concat inside one cogroup — the collect_list /
+    string_agg aggregate, built so the shuffle only ever moves the
+    DISTINCT pairs."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    pairs = bucket_aggregate(ds, ["lang", "source"],
+                             [("count", None, "_n")], num_buckets=8)
+
+    def concat(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("lang", "ascending"), ("source", "ascending")])
+        langs = t["lang"].to_pylist()
+        srcs = t["source"].to_pylist()
+        out_l, out_s, cur, buf = [], [], None, []
+        for la, s in zip(langs, srcs):
+            if la != cur:
+                if cur is not None:
+                    out_l.append(cur)
+                    out_s.append(",".join(buf))
+                cur, buf = la, []
+            buf.append(s)
+        if cur is not None:
+            out_l.append(cur)
+            out_s.append(",".join(buf))
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "sources": pa.array(out_s, pa.string())})
+
+    from .functions.hashing import bucket_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_b": pa.array(bucket_of(batch["lang"], 4), pa.int32()),
+            "lang": batch["lang"], "source": batch["source"]})
+
+    out = (pairs.map_batches(tag, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(lambda g: concat(g.drop_columns(["_b"])),
+                       batch_format="pyarrow"))
+    return _collect(out, pa.schema([("lang", pa.string()),
+                                    ("sources", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: per-group z-score normalization — the two-pass broadcast
 # pattern (tiny stats aggregate, then a stateless normalize map). The
 # SQL spells the IDENTICAL float expression, so doubles match exactly.
