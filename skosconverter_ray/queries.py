@@ -1189,6 +1189,32 @@ def events_value_quantiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: ntile window rank (exact SQL tile-size semantics)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_value_quartile",
+    """
+    SELECT event_id,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS q
+    FROM events
+    """,
+)
+def events_value_quartile(sf_dir: str):
+    """ntile(4) per event type (stages/quantile.ntile_per_key): one
+    bucket cogroup, one lexsort per bucket, vectorized big/small tile
+    arithmetic — first n%k tiles get ceil(n/k) rows, like SQL."""
+    from .stages.quantile import ntile_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = ntile_per_key(ds, "event_type", "value", "event_id", 4,
+                        id_cols=["event_id"])
+    return _collect(out, pa.schema([("event_id", pa.int64()),
+                                    ("q", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: DDSketch quantiles — the mergeable scale path behind
 # events_value_quantiles (approximate -> rows-only; the <=1% relative
 # error bound is pytest-pinned against exact order statistics)

@@ -62,3 +62,60 @@ def per_key_quantiles(ds, key_col: str, val_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(pick, batch_format="pyarrow"))
+
+
+def ntile_per_key(ds, key_col: str, order_col: str, tiebreak: str,
+                  n_tiles: int, *, num_buckets: int = 16,
+                  id_cols: list[str] | None = None):
+    """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY order_col,
+    tiebreak)``: the first ``n %% k`` tiles get ``ceil(n/k)`` rows,
+    the rest ``floor(n/k)`` — exact SQL semantics, vectorized.
+
+    Same cogroup shape as :func:`per_key_quantiles`; output is
+    ``id_cols`` (default ``[tiebreak]``) + ``q`` (1-based tile).
+    """
+    from ..functions.hashing import bucket_of
+
+    id_cols = id_cols or [tiebreak]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {"_bucket": bucket_of(batch[key_col], num_buckets),
+                key_col: batch[key_col],
+                order_col: batch[order_col]}
+        for c in id_cols:
+            cols.setdefault(c, batch[c])
+        if tiebreak not in cols:
+            cols[tiebreak] = batch[tiebreak]
+        return pa.table(cols)
+
+    def rank(group: pa.Table) -> pa.Table:
+        keys = group[key_col]
+        enc = keys.combine_chunks().dictionary_encode() \
+            if isinstance(keys, pa.ChunkedArray) else keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group[order_col].to_numpy(zero_copy_only=False)
+        tb = group[tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, o, codes))
+        c_s = codes[order]
+        seg_start = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        starts = np.flatnonzero(seg_start)
+        lengths = np.diff(np.concatenate((starts, [len(c_s)])))
+        i = np.arange(len(c_s)) - np.repeat(starts, lengths)   # 0-based
+        n = np.repeat(lengths, lengths)
+        big = n % n_tiles
+        size_small = n // n_tiles
+        size_big = size_small + 1
+        cut = big * size_big
+        in_big = i < cut
+        tile = np.where(
+            in_big, i // np.maximum(size_big, 1),
+            big + (i - cut) // np.maximum(size_small, 1)) + 1
+        sel = group.take(pa.array(order, pa.int64()))
+        cols = {c: sel[c] for c in id_cols}
+        cols["q"] = pa.array(tile, pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(lambda g: rank(g.drop_columns(["_bucket"])),
+                        batch_format="pyarrow"))

@@ -81,3 +81,27 @@ def test_ddsketch_negative_rejected(ray_session):
     ds = rd.from_items([{"k": "a", "v": -1.0}])
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         dd_quantiles(ds, "k", "v", {"p50": 0.5}).take_all()
+
+
+# ---------------------------------------------------------------------------
+# ntile_per_key
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_matches_duckdb(ray_session):
+    from skosconverter_ray.stages.quantile import ntile_per_key
+
+    rng = np.random.RandomState(41)
+    rows = [{"k": f"g{rng.randint(0, 5)}", "id": i,
+             "v": float(rng.randint(0, 50))} for i in range(1777)]
+    got = {r["id"]: r["q"]
+           for r in ntile_per_key(rd.from_items(rows).repartition(4),
+                                  "k", "v", "id", 7,
+                                  id_cols=["id"]).take_all()}
+    t = pa.table({"k": [r["k"] for r in rows],
+                  "id": [r["id"] for r in rows],
+                  "v": [r["v"] for r in rows]})
+    want = dict(duckdb.sql(
+        "SELECT id, ntile(7) OVER (PARTITION BY k ORDER BY v, id) "
+        "FROM t").fetchall())
+    assert got == want
