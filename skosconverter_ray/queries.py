@@ -1289,6 +1289,148 @@ def doc_dedup_clusters(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality filter ∧ exact-dedup winners ∧
+# near-dup cluster reps -> per-language corpus stats. The composition
+# of three independently-verified operators, oracle-checked as a whole.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "curation_pipeline",
+    r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    nondup_members AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING a <> least(a, min(b))
+    ),
+    exact_losers AS (
+      SELECT doc_id FROM documents d
+      WHERE doc_id <> (SELECT min(doc_id) FROM documents x
+                       WHERE x.text = d.text)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE) / nullif(length(text), 0) >= 0.5
+      AND n_chars BETWEEN 20 AND 100000
+      AND doc_id NOT IN (SELECT doc_id FROM exact_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM nondup_members)
+    GROUP BY lang
+    """,
+)
+def curation_pipeline(sf_dir: str):
+    """Training-data curation, end to end: (1) exact-dedup LOSERS
+    (every doc that is not its text-group's min id — a small set) via
+    the hash-keyed cogroup; (2) near-dup cluster members that are not
+    their cluster's representative (stages/dedup.neardup_clusters);
+    both broadcast as anti-join sets — duplicates are rare, so the
+    broadcast side is tiny even at corpus scale; (3) a vectorized
+    per-doc quality gate (alpha ratio ≥ 0.5, sane length); (4) one
+    combiner aggregate of surviving docs per language."""
+    import ray
+
+    from .functions.hashing import bucket_of
+    from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
+    from .stages.skew import bucket_aggregate
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "n_chars"]).materialize()
+
+    # (1) exact-dup losers: per text-hash group, every id but the min
+    hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow") \
+        .select_columns(["_h", "doc_id"])
+
+    def tagb(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(
+                (batch["_h"].to_numpy(zero_copy_only=False)
+                 % np.int64(16)).astype(np.int32), pa.int32()))
+
+    def losers(group: pa.Table) -> pa.Table:
+        h = group["_h"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        head = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        return pa.table({"doc_id": pa.array(id_s[~head], pa.int64())})
+
+    lose_ids: set = set()
+    for b in (hashed.map_batches(tagb, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(lambda g: losers(g.drop_columns(["_bucket"])),
+                          batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=65536)):
+        lose_ids.update(b["doc_id"].to_pylist())
+
+    # (2) near-dup non-representative members
+    pairs = minhash_near_dup_pairs(docs, threshold=0.8, num_partitions=8)
+    for b in neardup_clusters(pairs).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        for d, r in zip(b["doc_id"].to_pylist(), b["rep_id"].to_pylist()):
+            if d != r:
+                lose_ids.add(d)
+
+    drop_ref = ray.put(pa.array(sorted(lose_ids), pa.int64()))
+
+    # (3) quality gate + (4) per-lang token totals
+    def keep_and_count(batch: pa.Table, _ref=drop_ref) -> pa.Table:
+        drop = ray.get(_ref)
+        total = pc.utf8_length(batch["text"])
+        stripped = pc.replace_substring_regex(batch["text"],
+                                              "[^A-Za-z]", "")
+        ratio = pc.divide(
+            pc.cast(pc.utf8_length(stripped), pa.float64()),
+            pc.cast(pc.if_else(pc.equal(total, 0),
+                               pa.scalar(None, pa.int32()), total),
+                    pa.float64()))
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(ratio, 0.5),
+                    pc.and_(pc.greater_equal(batch["n_chars"], 20),
+                            pc.less_equal(batch["n_chars"], 100000))),
+            pc.invert(pc.is_in(batch["doc_id"], value_set=drop)))
+        t = batch.filter(pc.fill_null(mask, False))
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"].combine_chunks()
+                                    if isinstance(t["text"],
+                                                  pa.ChunkedArray)
+                                    else t["text"]), r"\s+"))
+        return pa.table({"lang": t["lang"],
+                         "tok": pc.cast(toks, pa.int64())})
+
+    out = bucket_aggregate(
+        docs.map_batches(keep_and_count, batch_format="pyarrow"),
+        ["lang"], [("count", None, "n_docs"), ("sum", "tok", "n_tokens")],
+        num_buckets=4)
+    return _collect(out.select_columns(["lang", "n_docs", "n_tokens"]),
+                    pa.schema([("lang", pa.string()),
+                               ("n_docs", pa.int64()),
+                               ("n_tokens", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # HLL distinct-count sketch (approximate -> rows-only; accuracy is
 # pytest-asserted against exact counts at 5% tolerance)
 # ---------------------------------------------------------------------------
