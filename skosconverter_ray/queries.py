@@ -2272,6 +2272,44 @@ def events_rolling_1h(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: ROWS-frame window family (running total, trailing 5-row sum,
+# lag delta) — one cogroup pass, oracle = three SQL window functions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_row_windows",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(trunc(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+             AS run_total,
+           CAST(sum(CAST(trunc(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) / 100.0 AS winr_total,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_gap_us
+    FROM events
+    """,
+)
+def events_row_windows(sf_dir: str):
+    """Running total + trailing 5-row sum + lag gap in ONE bucket
+    cogroup (stages/window.row_windows): lexsorted (user, ts,
+    event_id) segments, prefix-sum differencing, shifted deltas —
+    exact integer cents, deterministic tie order."""
+    from .stages.window import row_windows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = row_windows(ds, rows_preceding=4, num_buckets=32)
+    return _collect(out, pa.schema([("event_id", pa.int64()),
+                                    ("run_total", pa.float64()),
+                                    ("winr_total", pa.float64()),
+                                    ("prev_gap_us", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: as-of join (latest prior purchase per event) — custom temporal
 # join operator, oracle = DuckDB native ASOF JOIN
 # ---------------------------------------------------------------------------

@@ -169,3 +169,76 @@ def rolling_window(events_ds, *, window_s: float = 3600.0,
     tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(roll,
                                                 batch_format="pyarrow")
+
+
+def row_windows(events_ds, *, rows_preceding: int = 4,
+                num_buckets: int = 32):
+    """Per-event ROWS-frame window family in ONE cogroup pass:
+
+    - ``run_total``: running cents sum, ROWS UNBOUNDED PRECEDING;
+    - ``winr_total``: trailing ``rows_preceding``+current cents sum;
+    - ``prev_gap_us``: exact integer microseconds since the user's
+      previous event (SQL ``lag`` delta; null on each user's first
+      event) — integer so it hashes identically to the SQL oracle.
+
+    Frame order is (ts, event_id) — fully deterministic under ties,
+    matching ``ORDER BY ts, event_id`` on the SQL side. Same
+    partitioning contract and vectorized shape as :func:`sessionize`:
+    one lexsort + prefix sums per bucket, no per-user Python.
+    """
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
+                                pa.int32()),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
+                                              pa.scalar(100.0))),
+                         pa.int64()),
+        })
+
+    def windows(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, v_s, e_s = u[order], ts[order], v[order], eid[order]
+
+        seg_start = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        seg = np.cumsum(seg_start) - 1
+        starts = np.flatnonzero(seg_start)
+        pos = np.arange(len(u_s)) - starts[seg]     # 0-based in segment
+
+        csum = np.concatenate(([0], np.cumsum(v_s)))
+        idx = np.arange(len(u_s))
+        run_total = csum[idx + 1] - csum[starts[seg]]
+        lo = np.maximum(idx - rows_preceding, starts[seg])
+        winr_total = csum[idx + 1] - csum[lo]
+
+        gap = np.empty(len(u_s), np.float64)
+        gap[0] = np.nan
+        gap[1:] = (ts_s[1:] - ts_s[:-1]).astype(np.float64)
+        gap[pos == 0] = np.nan
+
+        def money(x):
+            return pa.array(x / 100.0, pa.float64())
+
+        return pa.table({
+            "event_id": pa.array(e_s, pa.int64()),
+            "run_total": money(run_total),
+            "winr_total": money(winr_total),
+            "prev_gap_us": pc.cast(pa.array(
+                np.where(np.isnan(gap), None, gap), pa.float64(),
+                from_pandas=True), pa.int64()),
+        })
+
+    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(windows,
+                                                batch_format="pyarrow")

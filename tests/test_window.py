@@ -140,3 +140,30 @@ def test_rolling_window_chunked_domain(ray_session):
                                    num_buckets=1,
                                    _max_segs_per_chunk=3).take_all()}
     assert got == _rolling_oracle(rows, 2000.0)
+
+
+# ---------------------------------------------------------------------------
+# row_windows (ROWS-frame family)
+# ---------------------------------------------------------------------------
+
+from skosconverter_ray.stages.window import row_windows  # noqa: E402
+
+
+def test_row_windows_matches_sequential(ray_session):
+    rows = _rolling_events()
+    got = {r["event_id"]: (r["run_total"], r["winr_total"],
+                           r["prev_gap_us"])
+           for r in row_windows(rd.from_items(rows), rows_preceding=2,
+                                num_buckets=4).take_all()}
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"],
+                                         r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        run = 0
+        for i, r in enumerate(rs):
+            run += int(r["value"] * 100)
+            win = sum(int(x["value"] * 100) for x in rs[max(0, i - 2):i + 1])
+            gap = (None if i == 0 else
+                   int((r["ts"] - rs[i - 1]["ts"]).total_seconds() * 1e6))
+            assert got[r["event_id"]] == (run / 100.0, win / 100.0, gap)
