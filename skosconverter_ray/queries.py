@@ -2039,6 +2039,56 @@ def embedding_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Embeddings: symmetric int8 quantization (model-compression staple).
+# Pure map — zero shuffles; exact integer parity with the SQL oracle.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id, i AS dim,
+           CAST(trunc(CAST(e AS DOUBLE) / m * 127.0) AS TINYINT) AS code
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i,
+                 list_max(list_transform(embedding, x -> abs(x))) AS m
+          FROM embeddings)
+    WHERE m > 0
+    """,
+)
+def embedding_quantize_int8(sf_dir: str):
+    """Per-vector symmetric int8 quantization: code =
+    trunc(e / max|e| · 127) — one zero-copy matrix view per batch,
+    all-zero vectors dropped (no scale). A pure map stage: the 4x
+    compression this buys is exactly what ships to the ANN/near-dup
+    stages at 100 TB."""
+    from .functions.arrays import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(batch["embedding"], np.float32)
+        m = np.abs(mat).max(axis=1)
+        keep = m > 0
+        ids, mat, m = ids[keep], mat[keep], m[keep]
+        codes = np.trunc(mat.astype(np.float64)
+                         / m.astype(np.float64)[:, None] * 127.0) \
+            .astype(np.int8)
+        d = mat.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(ids)),
+                            pa.int64()),
+            "code": pa.array(codes.ravel(), pa.int8()),
+        })
+
+    out = ds.map_batches(quant, batch_format="pyarrow")
+    return _collect(out, pa.schema([("vec_id", pa.int64()),
+                                    ("dim", pa.int64()),
+                                    ("code", pa.int8())]))
+
+
+# ---------------------------------------------------------------------------
 # Embeddings ⋈ documents: cross-modal join + per-language centroid.
 # Both sides are corpus-sized at scale -> bucket-cogroup hash join,
 # then the same exact integer-microunit vector aggregate.
