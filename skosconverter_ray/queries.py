@@ -2039,6 +2039,42 @@ def embedding_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: overlapping token-window chunking (RAG / pre-tokenization
+# staple) — pure flat-map, one binary_join per batch
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_chunks",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, 6)) AS i FROM words
+    )
+    SELECT doc_id, CAST((i - 1) / 6 AS BIGINT) AS chunk_id,
+           array_to_string(w[i:least(i + 7, len(w))], ' ') AS chunk,
+           least(i + 7, len(w)) - i + 1 AS n_tokens
+    FROM idx
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """8-token windows at stride 6 (2-token overlap) over every
+    document (stages/chunk.py): vectorized split, CSR window
+    expansion, one Arrow binary_join — no per-chunk Python. Zero
+    shuffles; chunk_id is dense per doc."""
+    from .stages.chunk import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, size=8, stride=6)
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("chunk_id", pa.int64()),
+                                    ("chunk", pa.string()),
+                                    ("n_tokens", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Embeddings: symmetric int8 quantization (model-compression staple).
 # Pure map — zero shuffles; exact integer parity with the SQL oracle.
 # ---------------------------------------------------------------------------
