@@ -932,6 +932,42 @@ def events_sample_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: regex extract-all to rows (flat-map extraction — the URL /
+# entity-mining shape; vectorized rust-regex extract + one explode)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_extract_terms",
+    r"""
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{5,}')) AS term
+    FROM documents
+    """,
+)
+def doc_extract_terms(sf_dir: str):
+    """Every ≥5-letter lowercase run per document, one output row per
+    match (order-insensitive set parity with the SQL oracle): polars'
+    vectorized ``str.extract_all`` + explode inside one map — the
+    flat-map extraction shape used for URL / entity mining; zero
+    shuffles."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.extract_all(r"[a-z]{5,}").alias("term"))
+            .drop("text").explode("term")
+            .filter(pl.col("term").is_not_null()))
+        return out.to_arrow().cast(pa.schema([("doc_id", pa.int64()),
+                                              ("term", pa.string())]))
+
+    out = ds.map_batches(extract, batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("term", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: ROLLUP grouping-sets aggregate — three combiner groupbys
 # (fine, mid, grand) unioned; each level is its own map-side combine
 # ---------------------------------------------------------------------------
