@@ -932,6 +932,47 @@ def events_sample_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# IO: JSONL sink + source round-trip. The oracle aggregates the parquet
+# directly, so the round-trip must preserve every row and value.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "jsonl_roundtrip",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip(sf_dir: str):
+    """documents -> sharded JSONL under /tmp -> read_json back -> per
+    lang count/chars. Exercises the JSONL sink/source pair (newline
+    JSON is the interchange format of every crawl pipeline); the
+    aggregate proves the round-trip is lossless."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="graft_jsonl_", dir="/tmp")
+    try:
+        ds.write_json(tmp)
+        back = rd.read_json(tmp)
+        out = bucket_aggregate(
+            back.select_columns(["lang", "n_chars"]), ["lang"],
+            [("count", None, "n"), ("sum", "n_chars", "chars")],
+            num_buckets=4)
+        return _collect(out.select_columns(["lang", "n", "chars"]),
+                        pa.schema([("lang", pa.string()),
+                                   ("n", pa.int64()),
+                                   ("chars", pa.int64())]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Documents: regex extract-all to rows (flat-map extraction — the URL /
 # entity-mining shape; vectorized rust-regex extract + one explode)
 # ---------------------------------------------------------------------------
