@@ -360,29 +360,40 @@ def top_orders_by_revenue(sf_dir: str):
     # up o_orderstatus for only the winning keys via parquet filter
     # pushdown — the |orders|-sized hash join disappears entirely
     # (measured: Dataset.join here cost ~5s of mostly fixed exchange
-    # latency; the pushdown read is <0.5s). Top-20 guard: if a winner
-    # had no orders row (inner-join semantics), the next candidate
-    # takes its place.
-    def local_topk(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            batch, sort_keys=[("revenue", "descending"),
-                              ("l_orderkey", "ascending")])
-        return batch.take(idx[:20])
-
-    top = (per_order.map_batches(local_topk, batch_format="pyarrow")
-           .sort(["revenue", "l_orderkey"], descending=[True, False])
-           .limit(20).take_all())
-    keys = [r["l_orderkey"] for r in top]
-
+    # latency; the pushdown read is <0.5s). Missing-FK guard: if fewer
+    # than 10 of the K candidates have an orders row (inner-join
+    # semantics), K escalates 10x and re-ranks — never a silently
+    # truncated result.
     import pyarrow.parquet as pq
 
-    otab = pq.read_table(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderkey", "o_orderstatus"],
-                         filters=[("o_orderkey", "in", keys)])
-    status = dict(zip(otab["o_orderkey"].to_pylist(),
-                      otab["o_orderstatus"].to_pylist()))
-    rows = [(r["l_orderkey"], status[r["l_orderkey"]], r["revenue"] / 100.0)
-            for r in top if r["l_orderkey"] in status][:10]
+    per_order = per_order.materialize()
+
+    def candidates(k: int):
+        def local_topk(batch: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                batch, sort_keys=[("revenue", "descending"),
+                                  ("l_orderkey", "ascending")])
+            return batch.take(idx[:k])
+
+        return (per_order.map_batches(local_topk, batch_format="pyarrow")
+                .sort(["revenue", "l_orderkey"], descending=[True, False])
+                .limit(k).take_all())
+
+    k = 20
+    while True:
+        top = candidates(k)
+        keys = [r["l_orderkey"] for r in top]
+        otab = pq.read_table(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"],
+                             filters=[("o_orderkey", "in", keys)])
+        status = dict(zip(otab["o_orderkey"].to_pylist(),
+                          otab["o_orderstatus"].to_pylist()))
+        rows = [(r["l_orderkey"], status[r["l_orderkey"]],
+                 r["revenue"] / 100.0)
+                for r in top if r["l_orderkey"] in status][:10]
+        if len(rows) >= 10 or len(top) < k:
+            break
+        k *= 10
     return pa.table({
         "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
         "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),

@@ -110,7 +110,10 @@ def semi_join_bloom(big_ds, small_ds, *, on: str, small_on: str | None = None,
     import ray
 
     small_on = small_on or on
-    keyed = small_ds.select_columns([small_on])
+    # materialize once: the Bloom build and the exact-verify pass both
+    # consume this lazy pipeline, and a lazy Dataset re-executes its
+    # whole upstream per consumer
+    keyed = small_ds.select_columns([small_on]).materialize()
     bloom = build_bloom(keyed, small_on, n_expected=n_expected, fpp=fpp)
 
     exact: pa.Array | None = None

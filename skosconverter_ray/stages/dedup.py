@@ -540,6 +540,10 @@ def embedding_near_dup_pairs(emb_ds, *, id_col: str = "vec_id",
     """
     import ray
 
+    # pin before the count: for a derived (non-parquet) upstream the
+    # count() is an execution, and the chosen path would otherwise
+    # re-execute the whole pipeline from scratch
+    emb_ds = emb_ds.materialize()
     if emb_ds.count() > _EMB_BRUTE_MAX:
         from .similarity import embedding_neardup_lsh
 

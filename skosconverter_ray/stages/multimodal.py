@@ -222,6 +222,24 @@ def build_media_store(docs_tbl: pa.Table,
     }, schema=MEDIA_STORE_SCHEMA)
 
 
+
+def _resolve_store(store_ref) -> dict | None:
+    """ObjectRef-or-table -> {media_ref: (format, payload)} lookup;
+    shared by every actor-pool stage that carries the media store."""
+    if store_ref is None:
+        return None
+    import ray
+
+    tbl = (ray.get(store_ref)
+           if isinstance(store_ref, ray.ObjectRef) else store_ref)
+    return {
+        r: (f, p)
+        for r, f, p in zip(tbl["media_ref"].to_pylist(),
+                           tbl["format"].to_pylist(),
+                           tbl["payload"].to_pylist())
+    }
+
+
 class MediaFeatureExtractor:
     """Interleaved-documents batch -> one feature row per media span.
 
@@ -239,19 +257,7 @@ class MediaFeatureExtractor:
         # per-actor setup: resolve the media store ONCE (the object
         # store ships it zero-copy; a real build opens its blob client
         # and loads the embedding model here)
-        self._store: dict | None = None
-        if store_ref is not None:
-            import ray
-
-            store_tbl = (ray.get(store_ref)
-                         if isinstance(store_ref, ray.ObjectRef)
-                         else store_ref)
-            self._store = {
-                r: (f, p)
-                for r, f, p in zip(store_tbl["media_ref"].to_pylist(),
-                                   store_tbl["format"].to_pylist(),
-                                   store_tbl["payload"].to_pylist())
-            }
+        self._store = _resolve_store(store_ref)
 
     def _decode_and_embed(self, media_ref: str, kind: str) -> np.ndarray:
         if self._store is not None and media_ref in self._store:
@@ -311,18 +317,7 @@ class FrameSampler:
         self.every_s = every_s
         self.max_frames = max_frames
         self.kinds = set(kinds)
-        self._store: dict | None = None
-        if store_ref is not None:
-            import ray
-
-            tbl = (ray.get(store_ref)
-                   if isinstance(store_ref, ray.ObjectRef) else store_ref)
-            self._store = {
-                r: (f, p)
-                for r, f, p in zip(tbl["media_ref"].to_pylist(),
-                                   tbl["format"].to_pylist(),
-                                   tbl["payload"].to_pylist())
-            }
+        self._store = _resolve_store(store_ref)
 
     def _frames_for(self, ref: str) -> list[tuple[float, float]]:
         """-> [(frame_ts, frame_rms)]; rms < 0 marks plan-only rows."""

@@ -261,8 +261,9 @@ def embedding_neardup_lsh(emb_ds, *, id_col: str = "vec_id",
             if e - s < 2:
                 continue
             if vecs is None:
-                vecs = np.asarray(group["vec"].to_pylist(),
-                                  dtype=np.float64)
+                from ..functions.arrays import list_column_to_matrix
+
+                vecs = list_column_to_matrix(group["vec"], np.float64)
             members = order[s:e]
             sub = vecs[members]
             sims = sub @ sub.T

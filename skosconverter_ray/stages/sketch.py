@@ -105,15 +105,22 @@ def distinct_count_hll(ds, key_col: str, value_col: str, *,
         enc = t[key_col].combine_chunks().dictionary_encode() \
             if isinstance(t[key_col], pa.ChunkedArray) \
             else t[key_col].dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        blobs = t["hll_regs"].to_pylist()
-        ests = []
-        for c in range(len(enc.dictionary)):
-            merged = hll_merge_blobs(
-                [b for b, cc in zip(blobs, codes) if cc == c])
-            ests.append(round(hll_estimate(merged)))
-        return pa.table({key_col: enc.dictionary,
-                         "n_distinct_est": pa.array(ests, pa.int64())})
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # one vectorized merge: stack all register rows, sort by key
+        # code, per-segment byte-max via maximum.reduceat — O(rows·2^p)
+        # instead of an O(keys·rows) Python rescan
+        stack = np.stack([np.frombuffer(b, np.uint8)
+                          for b in t["hll_regs"].to_pylist()])
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(np.concatenate(
+            ([True], codes[order][1:] != codes[order][:-1])))
+        merged = np.maximum.reduceat(stack[order], starts, axis=0)
+        ests = [round(hll_estimate(m)) for m in merged]
+        return pa.table({
+            key_col: enc.dictionary.take(
+                pa.array(codes[order][starts], pa.int64())),
+            "n_distinct_est": pa.array(ests, pa.int64())})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("_bucket")

@@ -92,6 +92,23 @@ def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
                                                 batch_format="pyarrow")
 
 
+
+def _tag_user_cents(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Shared map-side tagger for the per-user window operators:
+    bucket by user, carry (event_id, user_id, ts) and exact cents."""
+    uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
+                            pa.int32()),
+        "event_id": batch["event_id"],
+        "user_id": batch["user_id"],
+        "ts": batch["ts"],
+        "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
+                                          pa.scalar(100.0))),
+                     pa.int64()),
+    })
+
+
 def rolling_window(events_ds, *, window_s: float = 3600.0,
                    num_buckets: int = 32,
                    _max_segs_per_chunk: int | None = None):
@@ -114,19 +131,6 @@ def rolling_window(events_ds, *, window_s: float = 3600.0,
     use_hash_shuffle()
 
     win_us = np.int64(window_s * 1_000_000)
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
-                                pa.int32()),
-            "event_id": batch["event_id"],
-            "user_id": batch["user_id"],
-            "ts": batch["ts"],
-            "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
-                                              pa.scalar(100.0))),
-                         pa.int64()),
-        })
 
     def roll(group: pa.Table) -> pa.Table:
         u = group["user_id"].to_numpy(zero_copy_only=False)
@@ -166,7 +170,8 @@ def rolling_window(events_ds, *, window_s: float = 3600.0,
                                   pa.float64()),
         })
 
-    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    tagged = events_ds.map_batches(
+        lambda b: _tag_user_cents(b, num_buckets), batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(roll,
                                                 batch_format="pyarrow")
 
@@ -188,19 +193,6 @@ def row_windows(events_ds, *, rows_preceding: int = 4,
     """
     from ..config import use_hash_shuffle
     use_hash_shuffle()
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
-                                pa.int32()),
-            "event_id": batch["event_id"],
-            "user_id": batch["user_id"],
-            "ts": batch["ts"],
-            "v": pc.cast(pc.trunc(pc.multiply(batch["value"],
-                                              pa.scalar(100.0))),
-                         pa.int64()),
-        })
 
     def windows(group: pa.Table) -> pa.Table:
         u = group["user_id"].to_numpy(zero_copy_only=False)
@@ -239,6 +231,7 @@ def row_windows(events_ds, *, rows_preceding: int = 4,
                 from_pandas=True), pa.int64()),
         })
 
-    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    tagged = events_ds.map_batches(
+        lambda b: _tag_user_cents(b, num_buckets), batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(windows,
                                                 batch_format="pyarrow")
