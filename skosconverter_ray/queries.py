@@ -1206,6 +1206,47 @@ def doc_chars_zscore(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: deterministic 80/10/10 train/val/test split — hash-range
+# assignment, so shards are stable across runs and reproducible in SQL
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_split_counts",
+    """
+    SELECT event_type,
+           CASE WHEN (event_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (event_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM events GROUP BY event_type, split
+    """,
+)
+def events_split_counts(sf_dir: str):
+    """Stable train/val/test assignment from a multiplicative hash of
+    the row id (no RNG, no state): the split of a row never changes as
+    the corpus grows, which is the property a 100 TB ingest needs.
+    One vectorized map + a combiner aggregate."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = (batch["event_id"].to_numpy(zero_copy_only=False)
+             * 2654435761) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({"event_type": batch["event_type"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    out = bucket_aggregate(ds.map_batches(assign, batch_format="pyarrow"),
+                           ["event_type", "split"],
+                           [("count", None, "n")], num_buckets=4)
+    return _collect(out.select_columns(["event_type", "split", "n"]),
+                    pa.schema([("event_type", pa.string()),
+                               ("split", pa.string()),
+                               ("n", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: frequent terms via a mergeable Misra-Gries sketch. At
 # oracle scale capacity > |vocab| so estimates are exact; the
 # over-capacity approximation bound is pytest-pinned (test_sketch.py).
