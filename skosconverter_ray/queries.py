@@ -943,6 +943,47 @@ def events_sample_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Incremental ingest: cross-run dedup against a persisted fingerprint
+# store — round 1 absorbs half the corpus, round 2 offers all of it;
+# the oracle derives both rounds' survivor counts from SQL alone.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "incremental_ingest",
+    """
+    SELECT 1 AS round, count(*) AS n_new
+    FROM documents WHERE doc_id < 250
+    UNION ALL
+    SELECT 2 AS round, count(*) AS n_new
+    FROM documents
+    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+    """,
+)
+def incremental_ingest(sf_dir: str):
+    """Two ingest rounds against a fresh fingerprint store
+    (stages/incremental.py): Bloom fast-reject + exact-confirm
+    anti-join on 8-byte content hashes, append-only parquet shards.
+    Round 2 admits exactly the documents whose text round 1 never
+    saw."""
+    import shutil
+    import tempfile
+
+    from .stages.incremental import ingest_round
+
+    store = tempfile.mkdtemp(prefix="graft_fps_", dir="/tmp")
+    try:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        r1 = ingest_round(docs.filter(expr="doc_id < 250"), store)
+        n1 = r1.count()
+        r2 = ingest_round(docs, store)
+        n2 = r2.count()
+        return pa.table({"round": pa.array([1, 2], pa.int64()),
+                         "n_new": pa.array([n1, n2], pa.int64())})
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # IO: JSONL sink + source round-trip. The oracle aggregates the parquet
 # directly, so the round-trip must preserve every row and value.
 # ---------------------------------------------------------------------------

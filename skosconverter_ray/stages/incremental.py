@@ -1,0 +1,111 @@
+"""Incremental ingest: dedup a new document batch against a persisted
+fingerprint store (cross-RUN exact dedup).
+
+A 100 TB corpus is not ingested once — every crawl round must drop
+documents already absorbed by earlier rounds WITHOUT rescanning the
+old corpus. The store holds only 8-byte content hashes as append-only
+parquet shards (one per ingest round — resumable, no rewrite):
+
+- **filter**: store hashes load as a Bloom filter (bits broadcast
+  once) plus an exact hash set for the verify step — the same
+  fast-reject + exact-confirm shape as stages/bloom.semi_join_bloom,
+  here as an ANTI-join (keep rows whose hash is NOT in the store).
+  At store sizes beyond one node's memory the exact set shards by
+  hash range and the verify becomes a bucket-cogroup anti-join; the
+  Bloom bits stay broadcastable far longer (12 bits/key at 1% fpp).
+- **append**: the surviving batch's hashes are written as ONE new
+  shard; a crashed run can re-append idempotently because re-ingesting
+  the same docs yields zero survivors next round.
+
+Hash = the same seeded 64-bit content hash as queries.doc_dedup_exact
+(functions/hashing.hash_strings, seed 7), so in-run and cross-run
+dedup agree on identity.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SEED = 7
+
+
+def _hash_batch(batch: pa.Table, text_col: str) -> np.ndarray:
+    from ..functions.hashing import hash_strings
+
+    return (hash_strings(batch[text_col], seed=_SEED)
+            >> np.uint64(1)).astype(np.int64)
+
+
+def load_store(store_dir: str) -> np.ndarray:
+    """All fingerprint shards -> sorted unique int64 hash array."""
+    if not os.path.isdir(store_dir):
+        return np.empty(0, np.int64)
+    parts = [os.path.join(store_dir, f) for f in sorted(os.listdir(store_dir))
+             if f.endswith(".parquet")]
+    if not parts:
+        return np.empty(0, np.int64)
+    tabs = [pq.read_table(p, columns=["h"]) for p in parts]
+    hs = pa.concat_tables(tabs)["h"].to_numpy(zero_copy_only=False)
+    return np.unique(hs)
+
+
+def filter_new(docs_ds, store_dir: str, *, text_col: str = "text"):
+    """-> Dataset of rows whose content hash is NOT in the store,
+    with the hash attached as ``_h`` (so append_fingerprints never
+    re-hashes)."""
+    import ray
+
+    from .bloom import BloomFilter
+
+    known = load_store(store_dir)
+    bloom = BloomFilter(max(len(known), 1), fpp=0.01)
+    if len(known):
+        bloom.add(pa.array(known, pa.int64()))
+    ref = ray.put((bloom, pa.array(known, pa.int64())))
+
+    def filt(batch: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bl, exact = ray.get(_ref)
+        h = _hash_batch(batch, text_col)
+        harr = pa.array(h, pa.int64())
+        maybe = bl.contains(harr) if len(exact) else \
+            np.zeros(len(h), bool)
+        seen = np.zeros(len(h), bool)
+        if maybe.any():
+            hit = pc.is_in(harr, value_set=exact) \
+                .to_numpy(zero_copy_only=False)
+            seen = maybe & hit
+        return batch.append_column("_h", harr).filter(pa.array(~seen))
+
+    return docs_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def append_fingerprints(new_ds, store_dir: str) -> str:
+    """Write the surviving rows' ``_h`` hashes as one new store shard;
+    returns the shard path. Distinct-per-shard; shards may overlap
+    after crashes — load_store uniques across shards."""
+    os.makedirs(store_dir, exist_ok=True)
+    hs: list[np.ndarray] = []
+    for b in new_ds.select_columns(["_h"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        hs.append(b["_h"].to_numpy(zero_copy_only=False))
+    uniq = (np.unique(np.concatenate(hs)) if hs
+            else np.empty(0, np.int64))
+    path = os.path.join(store_dir, f"shard-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({"h": pa.array(uniq, pa.int64())}), path)
+    return path
+
+
+def ingest_round(docs_ds, store_dir: str, *, text_col: str = "text"):
+    """One incremental round: filter vs store, append survivors'
+    fingerprints, return the surviving Dataset (materialized — it is
+    consumed twice: fingerprint append + caller)."""
+    new = filter_new(docs_ds, store_dir, text_col=text_col).materialize()
+    append_fingerprints(new, store_dir)
+    return new.drop_columns(["_h"])
