@@ -2325,6 +2325,14 @@ def lang_centroids(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     docs = _read(sf_dir, "documents", ["doc_id", "lang"])
 
+    # embedding width probed from one row (schema carries only
+    # list<float>, not the fixed dim)
+    import pyarrow.parquet as _pq
+
+    probe = next(_pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(probe["embedding"][0])
+
     # Arrow's local join rejects list<float> payload columns — ship the
     # vector as one binary blob per row (zero-copy view of the child
     # buffer), decode with a single frombuffer after the join
@@ -2340,7 +2348,7 @@ def lang_centroids(sf_dir: str):
         left_on="vec_id", right_on="doc_id",
         num_buckets=16,
         left_schema=pa.schema([("vec_id", pa.int64()),
-                               ("emb", pa.binary(256))]),
+                               ("emb", pa.binary(dim * 4))]),
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("lang", pa.string())]))
 
