@@ -2536,6 +2536,75 @@ def events_rolling_1h(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Sessions ⋈ campaign windows: interval-OVERLAP join composed on top of
+# sessionization (a session matches every window it intersects)
+# ---------------------------------------------------------------------------
+
+_CAMPAIGNS = [("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+              ("mid", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+              ("late", "2024-01-15 00:00:00", "2024-01-31 00:00:00")]
+
+
+@_q(
+    "sessions_in_campaigns",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, sess,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+      FROM numbered GROUP BY user_id, sess
+    )
+    SELECT c.campaign, count(*) AS n_sessions
+    FROM sess s
+    JOIN (VALUES ('week1', '2024-01-01 00:00:00', '2024-01-08 00:00:00'),
+                 ('mid',   '2024-01-10 00:00:00', '2024-01-20 00:00:00'),
+                 ('late',  '2024-01-15 00:00:00', '2024-01-31 00:00:00'))
+         c(campaign, lo, hi)
+      ON s.s_start < c.hi AND s.s_end >= c.lo
+    GROUP BY c.campaign
+    """,
+)
+def sessions_in_campaigns(sf_dir: str):
+    """Sessions per campaign window: sessionize (gap windows), then a
+    broadcast interval-OVERLAP join ([start, end] ∩ [lo, hi) ≠ ∅ —
+    overlapping windows multiply) and a 3-key count. Second-truncated
+    ISO strings compare chronologically, so both sides use identical
+    string comparisons."""
+    from .stages.rangejoin import overlap_join
+    from .stages.skew import bucket_aggregate
+    from .stages.window import sessionize
+
+    camp = pa.table({
+        "campaign": pa.array([c[0] for c in _CAMPAIGNS], pa.string()),
+        "lo": pa.array([c[1] for c in _CAMPAIGNS], pa.string()),
+        "hi": pa.array([c[2] for c in _CAMPAIGNS], pa.string()),
+    })
+    sess = sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]),
+                      gap_s=4 * 3600.0, num_buckets=32)
+    joined = overlap_join(
+        sess.select_columns(["session_start", "session_end"]), camp,
+        start_col="session_start", end_col="session_end")
+    out = bucket_aggregate(joined.select_columns(["campaign"]),
+                           ["campaign"], [("count", None, "n_sessions")],
+                           num_buckets=2)
+    return _collect(out.select_columns(["campaign", "n_sessions"]),
+                    pa.schema([("campaign", pa.string()),
+                               ("n_sessions", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: ROWS-frame window family (running total, trailing 5-row sum,
 # lag delta) — one cogroup pass, oracle = three SQL window functions
 # ---------------------------------------------------------------------------

@@ -95,3 +95,43 @@ def interval_join(ds, intervals: pa.Table, *, on: str,
         return left
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def overlap_join(ds, intervals: pa.Table, *, start_col: str,
+                 end_col: str, lo_col: str = "lo", hi_col: str = "hi"):
+    """Interval-overlap join: row [start, end] (closed) matches every
+    broadcast interval [lo, hi) with ``start < hi AND end >= lo``.
+
+    The broadcast side is dimension-sized (campaign windows, promo
+    periods): per batch the match is K vectorized comparisons —
+    O(K·B), no shuffle on the big side. For corpus-sized interval
+    tables on BOTH sides the shape changes to a time-bucketed cogroup
+    (split each interval across the coarse time buckets it spans) —
+    out of scope for this helper, documented here as the scale path.
+    """
+    import ray
+
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False)
+    payload = intervals.drop_columns([lo_col, hi_col])
+    ref = ray.put((lo, hi, payload))
+
+    def join_batch(batch: pa.Table, _ref=ref) -> pa.Table:
+        ilo, ihi, pay = ray.get(_ref)
+        s = batch[start_col].to_numpy(zero_copy_only=False)
+        e = batch[end_col].to_numpy(zero_copy_only=False)
+        rows, ids = [], []
+        for k in range(len(ilo)):
+            m = (s < ihi[k]) & (e >= ilo[k])
+            hit = np.flatnonzero(m)
+            rows.append(hit)
+            ids.append(np.full(len(hit), k, np.int64))
+        row_idx = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        id_idx = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        left = batch.take(pa.array(row_idx, pa.int64()))
+        right = pay.take(pa.array(id_idx, pa.int64()))
+        for name in right.column_names:
+            left = left.append_column(name, right[name])
+        return left
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")

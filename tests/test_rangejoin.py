@@ -47,3 +47,24 @@ def test_interval_join_dataset(ray_session):
     rows = sorted((r["x"], r["band"]) for r in
                   interval_join(ds, bands, on="x").take_all())
     assert rows == [(1.0, "a"), (7.0, "a"), (7.0, "b"), (12.0, "b")]
+
+
+def test_overlap_join(ray_session):
+    camp = pa.table({"name": ["a", "b"],
+                     "lo": pa.array([10.0, 15.0], pa.float64()),
+                     "hi": pa.array([20.0, 30.0], pa.float64())})
+    from skosconverter_ray.stages.rangejoin import overlap_join
+
+    rows = [
+        {"id": 1, "s": 5.0, "e": 9.0},     # before both
+        {"id": 2, "s": 5.0, "e": 10.0},    # touches a.lo (e >= lo)
+        {"id": 3, "s": 12.0, "e": 16.0},   # overlaps a and b
+        {"id": 4, "s": 19.9, "e": 40.0},   # overlaps a (s < 20) and b
+        {"id": 5, "s": 20.0, "e": 22.0},   # b only (a.hi exclusive)
+        {"id": 6, "s": 30.0, "e": 31.0},   # after both (hi exclusive)
+    ]
+    got = sorted((r["id"], r["name"]) for r in
+                 overlap_join(rd.from_items(rows), camp, start_col="s",
+                              end_col="e").take_all())
+    assert got == [(2, "a"), (3, "a"), (3, "b"), (4, "a"), (4, "b"),
+                   (5, "b")]
