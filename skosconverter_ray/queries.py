@@ -2536,6 +2536,62 @@ def events_rolling_1h(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events ⋈ customer with skew-aware routing: MG sketch finds hot users,
+# their join goes map-side broadcast; cold keys take the cogroup path.
+# Same inner-join output either way -> plain SQL oracle.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_nation_join_skew",
+    """
+    SELECT c.c_nationkey AS nation, count(*) AS n,
+           CAST(sum(CAST(trunc(e.value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def events_nation_join_skew(sf_dir: str):
+    """events ⋈ customer on user key via stages/skewjoin.py: the MG
+    sketch measures event-per-user counts up front; users above the
+    hot threshold join map-side against broadcast customer rows, the
+    rest through the bucket cogroup — a hot user's rows never
+    serialize into one reduce task. Threshold is set low here so BOTH
+    paths execute at test scale."""
+    from .stages.skew import bucket_aggregate
+    from .stages.skewjoin import skew_aware_join
+
+    events = _read(sf_dir, "events", ["user_id", "value"]) \
+        .map_batches(lambda b: pa.table({"user_id": b["user_id"],
+                                         "v": _to_cents(b["value"])}),
+                     batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = skew_aware_join(
+        events, cust, left_on="user_id", right_on="c_custkey",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("v", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]),
+        hot_min_est=60, num_buckets=16)
+    out = bucket_aggregate(
+        joined.select_columns(["c_nationkey", "v"]), ["c_nationkey"],
+        [("count", None, "n"), ("sum", "v", "cents")], num_buckets=4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["c_nationkey"],
+            "n": batch["n"],
+            "total": pc.divide(pc.cast(batch["cents"], pa.float64()),
+                               pa.scalar(100.0)),
+        })
+
+    return _collect(out.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("nation", pa.int32()),
+                               ("n", pa.int64()),
+                               ("total", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Sessions ⋈ campaign windows: interval-OVERLAP join composed on top of
 # sessionization (a session matches every window it intersects)
 # ---------------------------------------------------------------------------
