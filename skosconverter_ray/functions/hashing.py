@@ -76,3 +76,12 @@ def bucket_of(values, n_buckets: int) -> pa.Array:
     """
     h = hash_strings(values, seed=0)
     return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+
+
+def content_hash64(texts) -> np.ndarray:
+    """Canonical 64-bit document-content identity (seed 7, top bit
+    cleared so it fits int64). In-run exact dedup
+    (queries.doc_dedup_exact) and cross-RUN dedup (stages/incremental)
+    both key on THIS function — one definition, so the two can never
+    silently disagree on identity."""
+    return (hash_strings(texts, seed=7) >> np.uint64(1)).astype(np.int64)

@@ -74,13 +74,13 @@ def _from_cents(tbl: pa.Table, col: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def _text_hash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit seeded content hash, vectorized (functions/hashing.py —
-    never Python hash(): salted per interpreter)."""
-    from .functions.hashing import hash_strings
+    """Canonical content hash, vectorized (functions/hashing.py
+    content_hash64 — shared with the incremental-ingest store; never
+    Python hash(): salted per interpreter)."""
+    from .functions.hashing import content_hash64
 
-    h = (hash_strings(batch["text"], seed=7) >> np.uint64(1)) \
-        .astype(np.int64)
-    return batch.append_column("_h", pa.array(h, pa.int64()))
+    return batch.append_column(
+        "_h", pa.array(content_hash64(batch["text"]), pa.int64()))
 
 
 @_q(
@@ -913,7 +913,8 @@ def shipping_priority(sf_dir: str):
       SELECT event_id, event_type,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY (event_id * 2654435761) % 4294967296, event_id
+               ORDER BY ((event_id % 1000003) * 2654435761) % 4294967296,
+                        event_id
              ) AS rn
       FROM events) WHERE rn <= 20
     """,
@@ -930,8 +931,11 @@ def events_sample_per_type(sf_dir: str):
 
     def h(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        # id % 1000003 first: product stays < 2^63 for every int64 id
+        # (same reasoning as events_split_counts)
         return batch.append_column(
-            "_h", pa.array((eid * 2654435761) % 4294967296, pa.int64()))
+            "_h", pa.array(((eid % 1000003) * 2654435761) % 4294967296,
+                           pa.int64()))
 
     out = top_k_per_key(ds.map_batches(h, batch_format="pyarrow"),
                         ["event_type"], "_h", 20,
@@ -1255,8 +1259,10 @@ def doc_chars_zscore(sf_dir: str):
     "events_split_counts",
     """
     SELECT event_type,
-           CASE WHEN (event_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (event_id * 2654435761) % 100 < 90 THEN 'val'
+           CASE WHEN ((event_id % 1000003) * 2654435761) % 100 < 80
+                  THEN 'train'
+                WHEN ((event_id % 1000003) * 2654435761) % 100 < 90
+                  THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n
     FROM events GROUP BY event_type, split
@@ -1272,8 +1278,12 @@ def events_split_counts(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        h = (batch["event_id"].to_numpy(zero_copy_only=False)
-             * 2654435761) % 100
+        # (id % 1000003) keeps the product < 2^63 for EVERY int64 id,
+        # so the arithmetic is identical in numpy and SQL (no wrap,
+        # no DuckDB overflow) — the split stays SQL-reproducible at
+        # any corpus size
+        h = ((batch["event_id"].to_numpy(zero_copy_only=False)
+              % 1000003) * 2654435761) % 100
         split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
         return pa.table({"event_type": batch["event_type"],
                          "split": pa.array(split.tolist(), pa.string())})
@@ -2601,6 +2611,10 @@ _CAMPAIGNS = [("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
               ("late", "2024-01-15 00:00:00", "2024-01-31 00:00:00")]
 
 
+_CAMPAIGN_VALUES = ", ".join(
+    f"('{n}', '{lo}', '{hi}')" for n, lo, hi in _CAMPAIGNS)
+
+
 @_q(
     "sessions_in_campaigns",
     """
@@ -2624,13 +2638,11 @@ _CAMPAIGNS = [("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
     )
     SELECT c.campaign, count(*) AS n_sessions
     FROM sess s
-    JOIN (VALUES ('week1', '2024-01-01 00:00:00', '2024-01-08 00:00:00'),
-                 ('mid',   '2024-01-10 00:00:00', '2024-01-20 00:00:00'),
-                 ('late',  '2024-01-15 00:00:00', '2024-01-31 00:00:00'))
+    JOIN (VALUES {campaign_values})
          c(campaign, lo, hi)
       ON s.s_start < c.hi AND s.s_end >= c.lo
     GROUP BY c.campaign
-    """,
+    """.format(campaign_values=_CAMPAIGN_VALUES),
 )
 def sessions_in_campaigns(sf_dir: str):
     """Sessions per campaign window: sessionize (gap windows), then a

@@ -17,9 +17,9 @@ parquet shards (one per ingest round — resumable, no rewrite):
   shard; a crashed run can re-append idempotently because re-ingesting
   the same docs yields zero survivors next round.
 
-Hash = the same seeded 64-bit content hash as queries.doc_dedup_exact
-(functions/hashing.hash_strings, seed 7), so in-run and cross-run
-dedup agree on identity.
+Hash = functions/hashing.content_hash64 — the SAME function
+queries.doc_dedup_exact keys on, so in-run and cross-run dedup agree
+on identity by construction.
 """
 
 from __future__ import annotations
@@ -31,14 +31,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_SEED = 7
-
-
 def _hash_batch(batch: pa.Table, text_col: str) -> np.ndarray:
-    from ..functions.hashing import hash_strings
+    from ..functions.hashing import content_hash64
 
-    return (hash_strings(batch[text_col], seed=_SEED)
-            >> np.uint64(1)).astype(np.int64)
+    return content_hash64(batch[text_col])
 
 
 def load_store(store_dir: str) -> np.ndarray:

@@ -17,9 +17,9 @@ the physical plan), so the operator is oracle-checkable against plain
 SQL. Partitioning assumptions, documented: the right side's hot-key
 rows must fit on the driver/object store (true whenever the right side
 is dimension-sized or hot keys are few — the skew case by definition),
-and the left side is consumed twice (hot pass + cold pass), which is
-free for re-readable sources (parquet) — materialize upstream
-otherwise.
+and the left side is consumed THREE times (sketch pass + hot pass +
+cold pass), which is cheap for re-readable pruned sources (parquet) —
+materialize upstream otherwise.
 """
 
 from __future__ import annotations
@@ -94,12 +94,16 @@ def skew_aware_join(left_ds, right_ds, *, left_on: str, right_on: str,
             pc.invert(pc.is_in(b[left_on], value_set=_h)))
         if len(_h) else b,
         batch_format="pyarrow")
-    # cogroup_join echoes the right key column; the hot-path
-    # pa.Table.join merges it into the left key — align by dropping it
-    out_parts.append(cogroup_join(
+    # cogroup_join echoes the right key column (when distinctly named);
+    # the hot-path pa.Table.join merges it into the left key — align by
+    # dropping the echo. With same-named keys there is no echo to drop.
+    cold = cogroup_join(
         cold_left, cold_right, left_on=left_on, right_on=right_on,
         num_buckets=num_buckets, left_schema=left_schema,
-        right_schema=right_schema).drop_columns([right_on]))
+        right_schema=right_schema)
+    if right_on != left_on:
+        cold = cold.drop_columns([right_on])
+    out_parts.append(cold)
 
     out = out_parts[0]
     for p in out_parts[1:]:

@@ -37,3 +37,20 @@ def test_hot_and_cold_paths_match_plain_join(ray_session):
 def test_all_cold_when_threshold_high(ray_session):
     # threshold high enough that no key is hot -> pure cogroup path
     assert _run(10_000) == _expected()
+
+
+def test_same_named_keys_keep_key_column(ray_session):
+    """left_on == right_on: the key must survive in BOTH paths."""
+    left = rd.from_items([{"k": 1, "x": 10}] * 30
+                         + [{"k": 2, "x": 20}] * 2).repartition(4)
+    right = rd.from_items([{"k": 1, "tag": "hot"}, {"k": 2, "tag": "c"}])
+    joined = skew_aware_join(
+        left, right, left_on="k", right_on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("tag", pa.string())]),
+        hot_min_est=10, num_buckets=4)
+    rows = joined.take_all()
+    assert all(set(r) == {"k", "x", "tag"} for r in rows)
+    got = sorted((r["k"], r["x"], r["tag"]) for r in rows)
+    assert got == sorted([(1, 10, "hot")] * 30 + [(2, 20, "c")] * 2)
