@@ -2810,3 +2810,34 @@ def supplier_nation_join(sf_dir: str):
         })
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gate ordering: the driver's correctness gate enumerates queries() in
+# dict order and has a finite budget (r02 recorded exactly the first 50
+# of 62). Put the entries that have never had a driver row FIRST so
+# every operator accumulates driver evidence across rounds; everything
+# else follows in registration order. Deterministic by construction.
+# ---------------------------------------------------------------------------
+
+_GATE_FIRST = [
+    # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
+    "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
+    "lang_centroids", "events_of_big_spenders", "events_value_bands",
+    "events_rolling_1h", "events_nation_join_skew", "sessions_in_campaigns",
+    "events_row_windows",
+    # driver-green in r01 but dropped from the r02 snapshot
+    "events_asof_purchase", "supplier_nation_join",
+]
+
+
+def _reorder_gate() -> None:
+    global QUERIES
+    ordered = {n: QUERIES[n] for n in _GATE_FIRST if n in QUERIES}
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES = ordered
+
+
+_reorder_gate()

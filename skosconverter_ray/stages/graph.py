@@ -14,6 +14,20 @@ flat across rounds (the measured compounding pitfall from the
 canonicalization loop — BASELINE.md optimization log). Out-degrees
 are computed ONCE and joined into the edge table up front, so the
 per-round join ships (src, dst, inv_deg) — no degree recomputation.
+
+Size-gated fast path (same pattern as the canonicalization
+union-find, stages/canonicalize.py): when the edge list fits the
+driver (``max_driver_edges``, default 4M rows ≈ a few hundred MB of
+int indices) the iteration runs as vectorized numpy bincount folds —
+each distributed round costs two fixed-latency exchanges (~1.5 s on
+this box regardless of data size), so for small/medium graphs the
+driver path is orders of magnitude faster with identical semantics.
+The distributed path stays exercised by forced-path parity tests
+(``max_driver_edges=0``). The normalized edge list is materialized
+ONCE up front: both paths (and the distributed path's three
+consumers: node set, degrees, per-round join) read the pinned copy,
+never re-executing upstream lineage (the shared-lineage pitfall,
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -23,15 +37,59 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
+                     tol: float | None):
+    """Vectorized driver-side power iteration over a pinned (src, dst)
+    Dataset that fits the gate (``max_driver_edges``). Multi-edge
+    semantics identical to the distributed path: out-degree counts
+    edge ROWS, each row contributes rank/deg."""
+    import ray.data as rd
+
+    srcs, dsts = [], []
+    for b in norm_ds.iter_batches(batch_format="pyarrow",
+                                  batch_size=262144):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = np.concatenate(srcs) if srcs else np.array([], dtype=object)
+    dst = np.concatenate(dsts) if dsts else np.array([], dtype=object)
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    m = len(src)
+    src_i, dst_i = inv[:m], inv[m:]
+    n = len(nodes)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    inv_deg = np.zeros(n)
+    np.divide(1.0, deg, out=inv_deg, where=~dangling)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = r[src_i] * inv_deg[src_i]
+        nxt = np.bincount(dst_i, weights=contrib, minlength=n)
+        dmass = float(r[dangling].sum())
+        new = (1.0 - damping) / n + damping * (nxt + dmass / n)
+        delta = float(np.abs(new - r).max())
+        r = new
+        if tol is not None and delta < tol:
+            break
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "rank": pa.array(r, pa.float64())}))
+
+
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
              num_buckets: int = 32, src_col: str = "src",
-             dst_col: str = "dst"):
+             dst_col: str = "dst", max_driver_edges: int = 4_000_000,
+             tol: float | None = None):
     """(src, dst) string-keyed edge Dataset -> (node, rank) Dataset.
 
     Standard PageRank power iteration (Page et al. 1999; damping d):
     ``r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/deg(u) + dangling/N)`` where
-    ``dangling`` is the rank mass of nodes without out-edges. Exactly
-    ``n_iter`` synchronous rounds; Σ rank = 1 preserved every round.
+    ``dangling`` is the rank mass of nodes without out-edges. Up to
+    ``n_iter`` synchronous rounds (early exit when the max |Δrank|
+    drops below ``tol``, if given); Σ rank = 1 preserved every round.
+
+    ``max_driver_edges`` gates the numpy fast path (module docstring);
+    pass 0 to force the distributed path (parity tests do).
     """
     import ray.data as rd
 
@@ -40,40 +98,45 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
 
     use_hash_shuffle()
 
-    def sym_nodes(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch[src_col], pa.string())
-        d = pc.cast(batch[dst_col], pa.string())
-        return pa.table({"node": pa.concat_arrays(
-            [s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
-             d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d])})
-
-    nodes = bucket_aggregate(
-        edges_ds.map_batches(sym_nodes, batch_format="pyarrow"),
-        ["node"], [("count", None, "_n")],
-        num_buckets=num_buckets).drop_columns(["_n"]).materialize()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
-                                       "rank": pa.array([], pa.float64())}))
-
-    # out-degree folded into the edges once: (src, dst, inv_deg)
-    def src_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": pc.cast(batch[src_col], pa.string())})
-
-    deg = bucket_aggregate(
-        edges_ds.map_batches(src_rows, batch_format="pyarrow"),
-        ["node"], [("count", None, "deg")], num_buckets=num_buckets)
-
-    from .joinutil import cogroup_join
-
     def edge_norm(batch: pa.Table) -> pa.Table:
         return pa.table({
             "src": pc.cast(batch[src_col], pa.string()),
             "dst": pc.cast(batch[dst_col], pa.string()),
         })
 
+    norm = (edges_ds.map_batches(edge_norm, batch_format="pyarrow")
+            .materialize())
+    n_edges = norm.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "rank": pa.array([], pa.float64())}))
+    if n_edges <= max_driver_edges:
+        return _pagerank_driver(norm, damping=damping, n_iter=n_iter,
+                                tol=tol)
+
+    def sym_nodes(batch: pa.Table) -> pa.Table:
+        s = batch["src"].combine_chunks() if isinstance(
+            batch["src"], pa.ChunkedArray) else batch["src"]
+        d = batch["dst"].combine_chunks() if isinstance(
+            batch["dst"], pa.ChunkedArray) else batch["dst"]
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    nodes = bucket_aggregate(
+        norm.map_batches(sym_nodes, batch_format="pyarrow"),
+        ["node"], [("count", None, "_n")],
+        num_buckets=num_buckets).drop_columns(["_n"]).materialize()
+    n_nodes = nodes.count()
+
+    deg = bucket_aggregate(
+        norm.select_columns(["src"]).map_batches(
+            lambda b: pa.table({"node": b["src"]}),
+            batch_format="pyarrow"),
+        ["node"], [("count", None, "deg")], num_buckets=num_buckets)
+
+    from .joinutil import cogroup_join
+
     edges = cogroup_join(
-        edges_ds.map_batches(edge_norm, batch_format="pyarrow"),
+        norm,
         deg.map_batches(
             lambda b: pa.table({"node": b["node"],
                                 "inv_deg": pc.divide(
@@ -111,6 +174,8 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             "rank": pa.array(np.full(batch.num_rows, r0), pa.float64()),
             "dang": pc.cast(pc.is_null(batch["deg"]), pa.int8()),
         }, schema=ranks_schema)
+
+    from ray.data.aggregate import Max  # noqa: F401  (distributed Δ fold)
 
     ranks = (flagged.map_batches(init_rank, batch_format="pyarrow")
              .repartition(num_buckets).materialize())
@@ -163,33 +228,54 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
 
         # left-outer onto the rank table (IS the node set, carries the
-        # dangling flag): nodes with no in-edges keep base mass only
+        # dangling flag AND the previous rank, so |Δ| is computable
+        # without another exchange): nodes with no in-edges keep base
+        # mass only
         joined = cogroup_join(
-            ranks.drop_columns(["rank"]), sums.map_batches(
+            ranks.select_columns(["node", "rank", "dang"]),
+            sums.map_batches(
                 lambda b: pa.table({"mnode": b["node"], "m": b["m"]}),
                 batch_format="pyarrow"),
             left_on="node", right_on="mnode", join_type="left outer",
             num_buckets=num_buckets,
-            left_schema=pa.schema([("node", pa.string()),
-                                   ("dang", pa.int8())]),
+            left_schema=ranks_schema,
             right_schema=pa.schema([("mnode", pa.string()),
                                     ("m", pa.float64())]))
 
         def new_rank(batch: pa.Table, _base=base) -> pa.Table:
             m = pc.fill_null(pc.cast(batch["m"], pa.float64()), 0.0)
+            new = pc.add(pa.scalar(_base),
+                         pc.multiply(pa.scalar(damping), m))
             return pa.table({
                 "node": batch["node"],
-                "rank": pc.add(pa.scalar(_base),
-                               pc.multiply(pa.scalar(damping), m)),
+                "rank": pc.cast(new, pa.float64()),
                 "dang": batch["dang"],
-            }, schema=ranks_schema)
+            }, schema=ranks_schema).append_column(
+                "_delta", pc.cast(pc.abs(pc.subtract(new, batch["rank"])),
+                                  pa.float64()))
 
         # repartition before materialize is LOAD-BEARING: the cogroup
         # join's map_groups splits group output into many small blocks
         # (measured 576 blocks by round 2 without this), and iterated
         # shuffle cost compounds with block count (same pitfall as the
         # canonicalization loop — BASELINE.md optimization log)
-        ranks = (joined.map_batches(new_rank, batch_format="pyarrow")
-                 .repartition(num_buckets).materialize())
+        with_delta = (joined.map_batches(new_rank, batch_format="pyarrow")
+                      .repartition(num_buckets).materialize())
+        ranks = with_delta
+        if tol is not None:
+            # Δ fold reads the SAME pinned blocks (object fetch, no
+            # extra pass); distributed Max only above the driver gate
+            if driver_fold:
+                delta = 0.0
+                for b in with_delta.iter_batches(batch_format="pyarrow",
+                                                 batch_size=65536):
+                    if b.num_rows:
+                        delta = max(delta, float(
+                            pc.max(b["_delta"]).as_py() or 0.0))
+            else:
+                delta = float(with_delta.aggregate(
+                    Max("_delta", alias_name="d"))["d"] or 0.0)
+            if delta < tol:
+                break
 
-    return ranks.drop_columns(["dang"])
+    return ranks.select_columns(["node", "rank"])

@@ -29,16 +29,42 @@ def _run(edges, **kw):
             for r in pagerank(ds, num_buckets=4, **kw).take_all()}
 
 
+_EDGES = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "b"),
+          ("e", "c"), ("e", "d"), ("f", "c")]
+
+
 def test_pagerank_matches_oracle_with_dangling(ray_session):
-    # b and d have no out-edges (dangling); c is a hub
-    edges = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "b"),
-             ("e", "c"), ("e", "d"), ("f", "c")]
-    got = _run(edges, n_iter=6)
-    want = _oracle(edges, n_iter=6)
+    # b and d have no out-edges (dangling); c is a hub.
+    # Small edge list -> exercises the driver numpy fast path.
+    got = _run(_EDGES, n_iter=6)
+    want = _oracle(_EDGES, n_iter=6)
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_forced_path_parity(ray_session):
+    # max_driver_edges=0 forces the cogroup-join/bucket-aggregate
+    # path; must match both the sequential oracle and the driver path.
+    got = _run(_EDGES, n_iter=6, max_driver_edges=0)
+    want = _oracle(_EDGES, n_iter=6)
+    fast = _run(_EDGES, n_iter=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+        assert abs(got[v] - fast[v]) < 1e-12, (v, got[v], fast[v])
+
+
+def test_pagerank_multi_edge_semantics(ray_session):
+    # repeated (s, t) rows each contribute rank/deg with deg counting
+    # edge ROWS — both paths must agree with the oracle on that
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")]
+    want = _oracle(edges, n_iter=4)
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = _run(edges, n_iter=4, **kw)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, (kw, v)
 
 
 def test_pagerank_cycle_uniform(ray_session):
@@ -47,3 +73,13 @@ def test_pagerank_cycle_uniform(ray_session):
     got = _run(edges, n_iter=5)
     for v, r in got.items():
         assert abs(r - 0.25) < 1e-12, (v, r)
+
+
+def test_pagerank_tol_early_exit(ray_session):
+    # a cycle converges to uniform immediately: with tol set, a huge
+    # n_iter must still return the converged answer (and quickly)
+    edges = [("n0", "n1"), ("n1", "n2"), ("n2", "n0")]
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = _run(edges, n_iter=500, tol=1e-9, **kw)
+        for v, r in got.items():
+            assert abs(r - 1.0 / 3) < 1e-9, (kw, v, r)
