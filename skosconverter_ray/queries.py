@@ -448,33 +448,24 @@ def events_daily(sf_dir: str):
     """,
 )
 def customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (guide §Joins: semi/anti =
-    broadcast the key set and filter in map_batches). The distinct
-    o_custkey set is customer-sized, not orders-sized; at a scale where
-    even that won't fit, swap in Dataset.join(left_anti)."""
-    import ray
+    """Distributed anti-join (stages/joinutil.cogroup_join
+    join_type="left anti"): both sides shuffle once into key buckets,
+    per-bucket existence check, no driver-collected key set (the old
+    broadcast-np.isin shape scaled with the fact table's distinct
+    keys). Per-batch pre-dedup shrinks the right side before the
+    shuffle."""
+    from .stages.joinutil import cogroup_join
 
-    # per-batch unique THEN a driver-side merge: no distinct shuffle —
-    # the driver sees only each block's already-deduped key vector
     uniq = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
         lambda b: pa.table({"o_custkey": pa.array(np.unique(
             b["o_custkey"].to_numpy(zero_copy_only=False)))}),
         batch_format="pyarrow")
-    ks = np.unique(np.concatenate(
-        [b["o_custkey"].to_numpy()
-         for b in uniq.iter_batches(batch_format="pyarrow",
-                                    batch_size=65536)] or [np.array([], np.int64)]))
-    key_ref = ray.put(ks)
-
     cust = _read(sf_dir, "customer", ["c_custkey"])
-
-    def drop_known(batch: pa.Table) -> pa.Table:
-        known = ray.get(key_ref)
-        keep = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False),
-                        known)
-        return batch.filter(pa.array(keep))
-
-    out = cust.map_batches(drop_known, batch_format="pyarrow")
+    out = cogroup_join(
+        cust, uniq, left_on="c_custkey", right_on="o_custkey",
+        join_type="left anti", num_buckets=16,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
     # materialize as Arrow so an empty result keeps its schema (an
     # all-empty Dataset loses column names through to_pandas)
     return _collect(out, pa.schema([("c_custkey", pa.int64())]))
@@ -490,9 +481,11 @@ def customers_without_orders(sf_dir: str):
     """,
 )
 def customers_without_big_orders(sf_dir: str):
-    """Filtered anti-join (non-empty at every sf): broadcast the set of
-    custkeys having a >150k order, filter customers against it."""
-    import ray
+    """Filtered distributed anti-join (non-empty at every sf): filter
+    + per-batch dedup the orders side, then cogroup_join "left anti" —
+    existence decided per key bucket, nothing collects on the
+    driver."""
+    from .stages.joinutil import cogroup_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -502,21 +495,12 @@ def customers_without_big_orders(sf_dir: str):
             t["o_custkey"].to_numpy(zero_copy_only=False)))})
 
     uniq = orders.map_batches(big, batch_format="pyarrow")
-    ks = np.unique(np.concatenate(
-        [b["o_custkey"].to_numpy()
-         for b in uniq.iter_batches(batch_format="pyarrow",
-                                    batch_size=65536)] or [np.array([], np.int64)]))
-    key_ref = ray.put(ks)
-
     cust = _read(sf_dir, "customer", ["c_custkey"])
-
-    def drop_known(batch: pa.Table) -> pa.Table:
-        known = ray.get(key_ref)
-        keep = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False),
-                        known)
-        return batch.filter(pa.array(keep))
-
-    out = cust.map_batches(drop_known, batch_format="pyarrow")
+    out = cogroup_join(
+        cust, uniq, left_on="c_custkey", right_on="o_custkey",
+        join_type="left anti", num_buckets=16,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
     return _collect(out, pa.schema([("c_custkey", pa.int64())]))
 
 

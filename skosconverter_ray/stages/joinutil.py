@@ -44,6 +44,13 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
     """Join two Datasets on single key columns. Column sets of the two
     sides must be disjoint apart from the keys (rename upstream).
 
+    ``join_type`` accepts Arrow's types including ``"left semi"`` /
+    ``"left anti"`` — those return LEFT columns only and are the
+    engine's distributed semi/anti join: both sides shuffle once into
+    key buckets, existence is decided per-bucket locally, and no key
+    set ever collects on the driver (the driver-collected ``np.isin``
+    anti-join shape is a driver OOM at scale).
+
     Pass ``left_schema``/``right_schema`` whenever the side is a LAZY
     dataset: ``Dataset.schema()`` on a lazy pipeline executes a partial
     pass of its whole upstream to infer types, so a chain of two
@@ -58,6 +65,15 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if right_schema is None:
         right_schema = pa.schema(
             list(zip(right_ds.schema().names, right_ds.schema().types)))
+    l_key_t = left_schema.field(left_on).type
+    r_key_t = right_schema.field(right_on).type
+    if l_key_t != r_key_t:
+        # outer joins restore the dropped right key by casting the left
+        # key — a silent lossy cast (int64->int32 overflow) would raise
+        # deep inside a bucket task; fail loudly up front instead
+        raise ValueError(
+            f"cogroup_join key dtype mismatch: {left_on}={l_key_t} vs "
+            f"{right_on}={r_key_t}; cast one side upstream")
     l_fields = list(zip(left_schema.names, left_schema.types))
     r_fields = [(n, t) for n, t in zip(right_schema.names, right_schema.types)]
     union_fields = l_fields + [(n, t) for n, t in r_fields
@@ -83,7 +99,8 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
               .union(right_ds.map_batches(tag(1, right_on, r_names),
                                           batch_format="pyarrow")))
 
-    out_fields = [(n, t) for n, t in union_fields]
+    semi_anti = join_type in ("left semi", "left anti")
+    out_fields = l_fields if semi_anti else [(n, t) for n, t in union_fields]
     out_schema = pa.schema(out_fields)
 
     def join_bucket(group: pa.Table) -> pa.Table:
@@ -93,8 +110,14 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
         right = (group.filter(pc.equal(side, 1))
                       .select(r_names))
         if left.num_rows == 0 or (right.num_rows == 0
-                                  and join_type == "inner"):
+                                  and join_type in ("inner", "left semi")):
             return out_schema.empty_table()
+        if semi_anti:
+            if right.num_rows == 0:  # anti: nothing to exclude
+                return left.cast(out_schema)
+            joined = left.join(right.select([right_on]), keys=[left_on],
+                               right_keys=[right_on], join_type=join_type)
+            return joined.select(l_names).cast(out_schema)
         # sentinel marks genuinely-matched rows so outer joins can
         # null the restored right key on unmatched rows (a payload
         # column's nullness is ambiguous — it may be null in a match)

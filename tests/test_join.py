@@ -49,3 +49,56 @@ def test_bucket_invariance(ray_session):
         return sorted((r["k"], r["lv"], r["rv"]) for r in out.take_all())
 
     assert run(1) == run(16)
+
+
+def test_anti_join_skewed(ray_session):
+    # skewed: key 0 dominates the right side; anti keeps only
+    # left keys absent from the right — decided per bucket, no
+    # driver-collected key set (VERDICT r02 item 3)
+    left = [{"k": i, "lv": i * 10} for i in range(50)]
+    right = ([{"rk": 0, "rv": "hot"}] * 500
+             + [{"rk": k, "rv": "c"} for k in range(0, 50, 2)])
+    out = cogroup_join(rd.from_items(left), rd.from_items(right),
+                       left_on="k", right_on="rk", num_buckets=4,
+                       join_type="left anti")
+    rows = out.take_all()
+    assert sorted(r["k"] for r in rows) == list(range(1, 50, 2))
+    # anti output is left columns only, one row per surviving left row
+    assert all(set(r) == {"k", "lv"} for r in rows)
+
+
+def test_semi_join(ray_session):
+    left = [{"k": i % 7, "lv": i} for i in range(40)]
+    right = [{"rk": k, "rv": "x"} for k in (1, 3)] * 3  # dup right rows
+    out = cogroup_join(rd.from_items(left), rd.from_items(right),
+                       left_on="k", right_on="rk", num_buckets=4,
+                       join_type="left semi")
+    rows = out.take_all()
+    expect = sorted((l["k"], l["lv"]) for l in left if l["k"] in (1, 3))
+    # semi never duplicates left rows even with duplicate right keys
+    assert sorted((r["k"], r["lv"]) for r in rows) == expect
+
+
+def test_anti_join_empty_right(ray_session):
+    import pyarrow as pa
+
+    left = [{"k": i, "lv": i} for i in range(10)]
+    out = cogroup_join(
+        rd.from_items(left),
+        rd.from_items([{"rk": 1, "rv": "x"}]).filter(lambda r: False),
+        left_on="k", right_on="rk", num_buckets=4, join_type="left anti",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("rk", pa.int64()), ("rv", pa.string())]))
+    assert sorted(r["k"] for r in out.take_all()) == list(range(10))
+
+
+def test_key_dtype_mismatch_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        cogroup_join(
+            rd.from_items([{"k": 1}]), rd.from_items([{"rk": 1}]),
+            left_on="k", right_on="rk", num_buckets=2,
+            left_schema=pa.schema([("k", pa.int64())]),
+            right_schema=pa.schema([("rk", pa.int32())]))
