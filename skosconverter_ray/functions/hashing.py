@@ -78,6 +78,19 @@ def bucket_of(values, n_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
 
 
+def content_hash_algo() -> str:
+    """Identity string of the content_hash64 implementation actually
+    running (algorithm + library version + seed). Anything that
+    PERSISTS content hashes across runs (stages/incremental) must
+    stamp shards with this and refuse mismatches at load time: polars'
+    ahash is only stable for a fixed polars version, and the blake2b
+    fallback is a different function entirely — a silent mismatch
+    would re-admit every previously-ingested document."""
+    if _HAS_POLARS:
+        return f"polars-ahash-{pl.__version__}-seed7-shr1"
+    return "blake2b8-seed7-shr1"
+
+
 def content_hash64(texts) -> np.ndarray:
     """Canonical 64-bit document-content identity (seed 7, top bit
     cleared so it fits int64). In-run exact dedup

@@ -897,7 +897,7 @@ def shipping_priority(sf_dir: str):
       SELECT event_id, event_type,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY ((event_id % 1000003) * 2654435761) % 4294967296,
+               ORDER BY ((abs(event_id) % 1000003) * 2654435761) % 4294967296,
                         event_id
              ) AS rn
       FROM events) WHERE rn <= 20
@@ -915,10 +915,13 @@ def events_sample_per_type(sf_dir: str):
 
     def h(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        # id % 1000003 first: product stays < 2^63 for every int64 id
-        # (same reasoning as events_split_counts)
+        # abs() first: numpy's % is floored (non-negative) while
+        # DuckDB's is truncated (negative for negative ids) — abs
+        # makes the two agree for any id; % 1000003 keeps the product
+        # < 2^63 (same reasoning as events_split_counts)
         return batch.append_column(
-            "_h", pa.array(((eid % 1000003) * 2654435761) % 4294967296,
+            "_h", pa.array(((np.abs(eid) % 1000003) * 2654435761)
+                           % 4294967296,
                            pa.int64()))
 
     out = top_k_per_key(ds.map_batches(h, batch_format="pyarrow"),
@@ -1243,9 +1246,9 @@ def doc_chars_zscore(sf_dir: str):
     "events_split_counts",
     """
     SELECT event_type,
-           CASE WHEN ((event_id % 1000003) * 2654435761) % 100 < 80
+           CASE WHEN ((abs(event_id) % 1000003) * 2654435761) % 100 < 80
                   THEN 'train'
-                WHEN ((event_id % 1000003) * 2654435761) % 100 < 90
+                WHEN ((abs(event_id) % 1000003) * 2654435761) % 100 < 90
                   THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n
@@ -1262,11 +1265,12 @@ def events_split_counts(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        # (id % 1000003) keeps the product < 2^63 for EVERY int64 id,
-        # so the arithmetic is identical in numpy and SQL (no wrap,
-        # no DuckDB overflow) — the split stays SQL-reproducible at
-        # any corpus size
-        h = ((batch["event_id"].to_numpy(zero_copy_only=False)
+        # abs() first (numpy floored %, DuckDB truncated % — they
+        # disagree on negative ids without it); (|id| % 1000003) keeps
+        # the product < 2^63 for EVERY int64 id, so the arithmetic is
+        # identical in numpy and SQL — the split stays
+        # SQL-reproducible at any corpus size
+        h = ((np.abs(batch["event_id"].to_numpy(zero_copy_only=False))
               % 1000003) * 2654435761) % 100
         split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
         return pa.table({"event_type": batch["event_type"],

@@ -19,7 +19,12 @@ parquet shards (one per ingest round — resumable, no rewrite):
 
 Hash = functions/hashing.content_hash64 — the SAME function
 queries.doc_dedup_exact keys on, so in-run and cross-run dedup agree
-on identity by construction.
+on identity by construction. Because that hash is only stable for a
+fixed polars version (ADVICE r02), every shard is stamped with
+``content_hash_algo()`` in its parquet schema metadata and
+``load_store`` REFUSES a store written under a different algorithm
+(clear error naming both identities) instead of silently re-admitting
+previously-ingested documents.
 """
 
 from __future__ import annotations
@@ -37,14 +42,40 @@ def _hash_batch(batch: pa.Table, text_col: str) -> np.ndarray:
     return content_hash64(batch[text_col])
 
 
+_ALGO_META = b"skos_fp_algo"
+
+
+class StoreAlgoMismatch(RuntimeError):
+    """A fingerprint shard was written under a different content-hash
+    implementation than the one running — its identities are
+    incomparable. Rebuild the store (re-ingest) or pin the library."""
+
+
+def _check_shard_algo(path: str) -> None:
+    from ..functions.hashing import content_hash_algo
+
+    meta = pq.read_schema(path).metadata or {}
+    got = meta.get(_ALGO_META, b"<unstamped>").decode()
+    want = content_hash_algo()
+    if got != want:
+        raise StoreAlgoMismatch(
+            f"fingerprint shard {path} was written with hash algo "
+            f"'{got}' but this runtime computes '{want}'; cross-run "
+            f"identities would silently disagree — rebuild the store")
+
+
 def load_store(store_dir: str) -> np.ndarray:
-    """All fingerprint shards -> sorted unique int64 hash array."""
+    """All fingerprint shards -> sorted unique int64 hash array.
+    Raises StoreAlgoMismatch if any shard's stamped hash algorithm
+    differs from the running one."""
     if not os.path.isdir(store_dir):
         return np.empty(0, np.int64)
     parts = [os.path.join(store_dir, f) for f in sorted(os.listdir(store_dir))
              if f.endswith(".parquet")]
     if not parts:
         return np.empty(0, np.int64)
+    for p in parts:
+        _check_shard_algo(p)
     tabs = [pq.read_table(p, columns=["h"]) for p in parts]
     hs = pa.concat_tables(tabs)["h"].to_numpy(zero_copy_only=False)
     return np.unique(hs)
@@ -93,8 +124,12 @@ def append_fingerprints(new_ds, store_dir: str) -> str:
         hs.append(b["_h"].to_numpy(zero_copy_only=False))
     uniq = (np.unique(np.concatenate(hs)) if hs
             else np.empty(0, np.int64))
+    from ..functions.hashing import content_hash_algo
+
     path = os.path.join(store_dir, f"shard-{uuid.uuid4().hex}.parquet")
-    pq.write_table(pa.table({"h": pa.array(uniq, pa.int64())}), path)
+    tbl = pa.table({"h": pa.array(uniq, pa.int64())}).replace_schema_metadata(
+        {_ALGO_META: content_hash_algo().encode()})
+    pq.write_table(tbl, path)
     return path
 
 

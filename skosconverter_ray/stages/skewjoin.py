@@ -14,13 +14,14 @@ map + a tiny merge, never a full groupby), then routes:
 
 The output is the exact inner join either way (routing only changes
 the physical plan), so the operator is oracle-checkable against plain
-SQL. Partitioning assumptions, documented: the right side's hot-key
+SQL. Partitioning assumption, documented: the right side's hot-key
 rows must fit on the driver/object store (true whenever the right side
-is dimension-sized or hot keys are few — the skew case by definition),
-and the left side is consumed THREE times (sketch pass + hot pass +
-cold pass), which is cheap for re-readable pruned sources (parquet) —
-materialize upstream otherwise.
-"""
+is dimension-sized or hot keys are few — the skew case by definition).
+The left side is consumed THREE times (sketch pass + hot pass + cold
+pass), so it is materialized up front (pinned blocks, object-store
+fetches per pass) — re-running a lazy upstream three times would both
+waste compute and, for any non-deterministic upstream, split rows
+inconsistently between the hot and cold passes (ADVICE r02)."""
 
 from __future__ import annotations
 
@@ -39,6 +40,10 @@ def skew_aware_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     from .joinutil import cogroup_join
     from .sketch import frequent_items
+
+    # pin the left side ONCE: three consumers below (sketch, hot,
+    # cold) read the same blocks instead of re-executing lineage
+    left_ds = left_ds.materialize()
 
     # 1. measure: MG heavy hitters over the left key column
     est = frequent_items(left_ds.select_columns([left_on]), left_on,

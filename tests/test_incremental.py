@@ -41,3 +41,26 @@ def test_empty_store_and_crash_idempotence(ray_session, tmp_path):
     # simulate a crashed re-run appending an overlapping shard
     ingest_round(_docs(["x y z"]), store)
     assert len(load_store(store)) == 1          # unique across shards
+
+
+def test_store_algo_mismatch_refused(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from skosconverter_ray.stages.incremental import (
+        StoreAlgoMismatch, load_store)
+
+    # a shard stamped by a different hash implementation must be
+    # refused loudly, never silently merged (ADVICE r02: a polars
+    # upgrade would otherwise re-admit every ingested document)
+    t = pa.table({"h": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(
+        t.replace_schema_metadata({b"skos_fp_algo": b"polars-ahash-0.0.1"}),
+        str(tmp_path / "shard-old.parquet"))
+    with pytest.raises(StoreAlgoMismatch, match="rebuild the store"):
+        load_store(str(tmp_path))
+    # unstamped legacy shards are refused too
+    pq.write_table(t, str(tmp_path / "shard-old.parquet"))
+    with pytest.raises(StoreAlgoMismatch, match="unstamped"):
+        load_store(str(tmp_path))
