@@ -2737,9 +2737,17 @@ def events_asof_purchase(sf_dir: str):
              .drop_columns(["value"])
     right = ev.map_batches(split(True), batch_format="pyarrow") \
               .drop_columns(["event_id"])
-    out = asof_join(left, right, key="user_id", ts="ts",
-                    right_cols=["ts", "value"], num_buckets=32,
-                    prefix="p_")
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=["ts", "value"], num_buckets=32, prefix="p_",
+        # explicit schemas: both sides are lazy derived pipelines, and
+        # Dataset.schema() on those would re-execute the events scan
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("value", pa.float64())]))
 
     def fin(batch: pa.Table) -> pa.Table:
         def s(col):

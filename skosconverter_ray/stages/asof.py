@@ -28,20 +28,29 @@ import pyarrow.compute as pc
 
 def asof_join(left_ds, right_ds, *, key: str, ts: str,
               right_cols: list[str], num_buckets: int = 32,
-              prefix: str = "r_"):
+              prefix: str = "r_",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Returns left rows + ``prefix``-renamed right payload columns of
     the latest right row with ``right.ts <= left.ts`` (inner join).
 
     ``key`` must be integer-typed on both sides; ``ts`` must be
     timestamp or numeric and identically typed.
+
+    Pass ``left_schema``/``right_schema`` whenever a side is a LAZY
+    multi-stage pipeline: ``Dataset.schema()`` executes a partial pass
+    of the upstream to infer types (the repo's documented pitfall), so
+    omitting them on a derived input silently re-runs that lineage.
     """
     from ..config import use_hash_shuffle
     use_hash_shuffle()
 
-    left_schema = left_ds.schema()
+    if left_schema is None:
+        left_schema = left_ds.schema()
     l_names = list(left_schema.names)
     l_types = list(left_schema.types)
-    right_schema = right_ds.schema()
+    if right_schema is None:
+        right_schema = right_ds.schema()
     r_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
 
     out_fields = list(zip(l_names, l_types)) + [

@@ -51,3 +51,34 @@ def test_asof_bucket_invariance(ray_session):
         return sorted((r["eid"], r["r_val"]) for r in out.take_all())
 
     assert run(1) == run(16)
+
+
+def test_asof_explicit_schemas_never_infer(ray_session):
+    """With explicit schemas, asof_join must never call .schema() on
+    its inputs — on a lazy multi-stage pipeline that call executes a
+    partial upstream pass (the repo's documented pitfall)."""
+    import pyarrow as pa
+
+    left, right = _mk()
+    lds = rd.from_items(left).map_batches(lambda b: b,
+                                          batch_format="pyarrow")
+    rds = rd.from_items(right).map_batches(lambda b: b,
+                                           batch_format="pyarrow")
+
+    def boom(*a, **k):
+        raise AssertionError("asof_join called Dataset.schema() despite "
+                             "explicit schemas")
+
+    lds.schema = boom
+    rds.schema = boom
+    ts_t = pa.timestamp("us")
+    out = asof_join(
+        lds, rds, key="k", ts="ts", right_cols=["ts", "val"],
+        num_buckets=4, prefix="r_",
+        left_schema=pa.schema([("eid", pa.int64()), ("k", pa.int64()),
+                               ("ts", ts_t)]),
+        right_schema=pa.schema([("k", pa.int64()), ("ts", ts_t),
+                                ("val", pa.float64())]))
+    rows = {r["eid"]: r for r in out.take_all()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["r_val"] == 2.0
