@@ -32,7 +32,10 @@ _BASE_RE = re.compile(r"^\s*@?[Bb][Aa][Ss][Ee]\s+<([^>]*)>\s*\.?\s*$")
 _TERM_RE = re.compile(
     r"""\s*(?:
         <(?P<uri>[^>]*)>
-      | (?P<a>a)(?=[\s;,.])
+      | (?P<a>a)(?=[\s;,.\])])
+      | _:(?P<bnode>[A-Za-z0-9_][A-Za-z0-9_.-]*)
+      | (?P<bool>true|false)(?=[\s;,.\])])
+      | (?P<num>[+-]?(?:\d*\.\d+|\d+)(?:[eE][+-]?\d+)?)(?=[\s;,\])]|\.\s|\.$)
       | (?P<pfx>[A-Za-z][A-Za-z0-9_.-]*)?:(?P<local>[A-Za-z0-9_.%-]*)
       | \"\"\"(?P<long>(?:[^"\\]|\\.|"(?!""))*)\"\"\"
       | \"(?P<lit>(?:[^"\\]|\\.)*)\"
@@ -40,6 +43,10 @@ _TERM_RE = re.compile(
     (?:\^\^(?:<[^>]*>|[A-Za-z][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*))?
     (?:@(?P<lang>[A-Za-z0-9-]+))?
     """, re.VERBOSE | re.DOTALL)
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_FIRST, _RDF_REST, _RDF_NIL = (_RDF_NS + "first", _RDF_NS + "rest",
+                                   _RDF_NS + "nil")
 
 _UNESC = {"\\n": "\n", "\\r": "\r", "\\t": "\t", '\\"': '"', "\\\\": "\\"}
 
@@ -110,12 +117,20 @@ def _strip_comments(text: str) -> str:
     return "".join(out)
 
 
-def parse_turtle_doc(text: str) -> list[tuple]:
+def parse_turtle_doc(text: str, *, bnode_prefix: str = "_:") -> list[tuple]:
     """One Turtle document -> [(subj, pred, obj, is_literal, lang)].
 
-    Unsupported constructs (blank-node property lists, collections)
-    raise ValueError — better a loud per-file error record than silent
-    triple loss.
+    Recursive descent over statements. Blank nodes are first-class
+    (rdflib reads them for the reference, skos_converter.py:548-564):
+    labels ``_:name`` keep their label, anonymous ``[ p o ; ... ]``
+    property lists mint ``genN`` nodes, ``( a b c )`` collections
+    desugar to rdf:first/rdf:rest/rdf:nil chains. All blank-node ids
+    get ``bnode_prefix`` prepended — callers that union many files
+    pass a per-document prefix so graph-scoped labels can never
+    collide across files. Numeric and boolean literals parse as plain
+    literals (lexical form kept, like datatyped strings). Anything
+    else still raises ValueError — a loud per-file error record over
+    silent triple loss.
     """
     prefixes: dict[str, str] = {}
     triples: list[tuple] = []
@@ -129,12 +144,23 @@ def parse_turtle_doc(text: str) -> list[tuple]:
             continue
         body_lines.append(line)
     body = "\n".join(body_lines)
+    n = len(body)
+    gen = iter(range(1 << 30))
+
+    def new_bnode() -> str:
+        return f"{bnode_prefix}gen{next(gen)}"
 
     def expand(m: re.Match):
         if m["uri"] is not None:
             return ("uri", m["uri"], None)
         if m["a"] is not None:
             return ("uri", _RDF_TYPE, None)
+        if m["bnode"] is not None:
+            return ("uri", bnode_prefix + m["bnode"], None)
+        if m["bool"] is not None:
+            return ("lit", m["bool"], None)
+        if m["num"] is not None:
+            return ("lit", m["num"], None)
         if m["local"] is not None and (m["pfx"] is not None
                                        or ":" in m.group(0)):
             pfx = m["pfx"] or ""
@@ -144,53 +170,97 @@ def parse_turtle_doc(text: str) -> list[tuple]:
         lit = m["long"] if m["long"] is not None else m["lit"]
         return ("lit", _unescape(lit), m["lang"])
 
-    pos, n = 0, len(body)
-    while True:
-        # skip whitespace
+    def skip_ws(pos: int) -> int:
         while pos < n and body[pos].isspace():
             pos += 1
-        if pos >= n:
-            break
-        if body[pos] in "[(":
-            raise ValueError("blank-node/collection syntax not supported")
+        return pos
+
+    def parse_node(pos: int, *, as_subject: bool = False):
+        """One node (atomic term, [..] property list, (..) collection)
+        -> (kind, value, lang, new_pos)."""
+        pos = skip_ws(pos)
+        if pos < n and body[pos] == "[":
+            node = new_bnode()
+            pos = skip_ws(pos + 1)
+            if pos < n and body[pos] == "]":       # [] — empty bnode
+                return ("uri", node, None, pos + 1)
+            pos = skip_ws(parse_po_list(node, pos))
+            if pos >= n or body[pos] != "]":
+                raise ValueError(f"unclosed '[' at offset {pos}: "
+                                 f"{body[pos:pos+40]!r}")
+            return ("uri", node, None, pos + 1)
+        if pos < n and body[pos] == "(":
+            pos = skip_ws(pos + 1)
+            items: list[tuple] = []
+            while pos < n and body[pos] != ")":
+                kind, val, lang, pos = parse_node(pos)
+                items.append((kind, val, lang))
+                pos = skip_ws(pos)
+            if pos >= n:
+                raise ValueError("unclosed '(' collection")
+            pos += 1
+            if not items:
+                return ("uri", _RDF_NIL, None, pos)
+            cells = [new_bnode() for _ in items]
+            for i, (kind, val, lang) in enumerate(items):
+                triples.append((cells[i], _RDF_FIRST, val,
+                                kind == "lit", lang))
+                rest = cells[i + 1] if i + 1 < len(items) else _RDF_NIL
+                triples.append((cells[i], _RDF_REST, rest, False, None))
+            return ("uri", cells[0], None, pos)
         m = _TERM_RE.match(body, pos)
-        if not m or m["lit"] is not None or m["long"] is not None:
-            raise ValueError(f"expected subject at offset {pos}: "
+        if not m:
+            what = "subject" if as_subject else "object"
+            raise ValueError(f"expected {what} at offset {pos}: "
                              f"{body[pos:pos+40]!r}")
-        kind, subj, _ = expand(m)
-        pos = m.end()
-        while True:  # predicate lists (;)
+        kind, val, lang = expand(m)
+        if as_subject and kind == "lit":
+            raise ValueError(f"literal subject at offset {pos}: "
+                             f"{body[pos:pos+40]!r}")
+        return (kind, val, lang, m.end())
+
+    def parse_po_list(subj: str, pos: int) -> int:
+        """predicate-object list for ``subj`` until '.', ']' or EOF;
+        returns the position of that terminator."""
+        while True:
+            pos = skip_ws(pos)
             m = _TERM_RE.match(body, pos)
             if not m:
                 raise ValueError(f"expected predicate at offset {pos}: "
                                  f"{body[pos:pos+40]!r}")
-            _, pred, _ = expand(m)
+            pkind, pred, _ = expand(m)
+            if pkind == "lit":
+                raise ValueError(f"literal predicate at offset {pos}: "
+                                 f"{body[pos:pos+40]!r}")
             pos = m.end()
             while True:  # object lists (,)
-                m = _TERM_RE.match(body, pos)
-                if not m:
-                    raise ValueError(f"expected object at offset {pos}: "
-                                     f"{body[pos:pos+40]!r}")
-                okind, obj, lang = expand(m)
+                okind, obj, lang, pos = parse_node(pos)
                 triples.append((subj, pred, obj, okind == "lit", lang))
-                pos = m.end()
-                while pos < n and body[pos].isspace():
-                    pos += 1
+                pos = skip_ws(pos)
                 if pos < n and body[pos] == ",":
                     pos += 1
                     continue
                 break
             if pos < n and body[pos] == ";":
-                pos += 1
-                # tolerate trailing ';' before '.'
-                look = pos
-                while look < n and body[look].isspace():
-                    look += 1
-                if look < n and body[look] == ".":
-                    pos = look
-                    continue
+                pos = skip_ws(pos + 1)
+                if pos < n and body[pos] in ".]":  # trailing ';'
+                    return pos
                 continue
+            return pos
+
+    pos = 0
+    while True:
+        pos = skip_ws(pos)
+        if pos >= n:
             break
+        was_anon = pos < n and body[pos] == "["
+        kind, subj, _, pos = parse_node(pos, as_subject=True)
+        del kind
+        pos = skip_ws(pos)
+        # '[ p o ] .' as a whole statement: the property list already
+        # emitted its triples, a bare '.' may follow immediately
+        if not (was_anon and pos < n and body[pos] == "."):
+            pos = parse_po_list(subj, pos)
         if pos >= n or body[pos] != ".":
             raise ValueError(f"expected '.' at offset {pos}: "
                              f"{body[pos:pos+40]!r}")
@@ -225,8 +295,12 @@ def parse_turtle_dataset(docs_ds, *, text_col: str = "text",
         for doc_id, text in zip(batch[id_col].to_pylist(),
                                 batch[text_col].to_pylist()):
             try:
-                tables.append(
-                    triples_to_table(parse_turtle_doc(text or ""), doc_id))
+                # per-document bnode prefix: graph-scoped labels from
+                # different files must never collide in the union
+                tables.append(triples_to_table(
+                    parse_turtle_doc(text or "",
+                                     bnode_prefix=f"_:{doc_id}#"),
+                    doc_id))
             except ValueError as e:
                 logging.getLogger(__name__).warning(
                     "turtle parse failed for %s: %s", doc_id, e)

@@ -145,3 +145,84 @@ def test_turtle_hash_inside_multiline_literal():
             'line one\nhas a # not-a-comment inside\nline three',
             True, None) in ts
     assert len(ts) == 2
+
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_turtle_blank_node_labels_and_anon():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:c ex:rel _:b0 .
+    _:b0 ex:name "named" .
+    ex:d ex:note [ ex:name "anon"@fr ; ex:rank 5 ] .
+    [ ex:name "stmt-level" ] .
+    [] ex:name "empty-anon" .
+    """
+    ts = parse_turtle_doc(doc)
+    assert ("http://ex.org/c", "http://ex.org/rel", "_:b0",
+            False, None) in ts
+    assert ("_:b0", "http://ex.org/name", "named", True, None) in ts
+    anon = [t[0] for t in ts
+            if t[1] == "http://ex.org/name" and t[2] == "anon"]
+    assert anon and anon[0].startswith("_:gen")
+    # the minted node links back from ex:d
+    assert ("http://ex.org/d", "http://ex.org/note", anon[0],
+            False, None) in ts
+    assert ((anon[0], "http://ex.org/rank", "5", True, None) in ts)
+    assert any(t[2] == "stmt-level" for t in ts)
+    assert any(t[2] == "empty-anon" for t in ts)
+
+
+def test_turtle_nested_blank_nodes_and_collections():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:s ex:p [ ex:q [ ex:r "deep" ] ] .
+    ex:s ex:list ( "a" ( "b" ) ex:c ) .
+    ex:s ex:none () .
+    """
+    ts = parse_turtle_doc(doc)
+    deep = [t for t in ts if t[2] == "deep"]
+    assert deep and deep[0][0].startswith("_:gen")
+    # collection desugars to first/rest cells ending in rdf:nil
+    firsts = [t for t in ts if t[1] == _RDF + "first"]
+    rests = [t for t in ts if t[1] == _RDF + "rest"]
+    assert len(firsts) == 4 and len(rests) == 4        # outer 3 + inner 1
+    assert sum(1 for t in rests if t[2] == _RDF + "nil") == 2
+    assert ("http://ex.org/s", "http://ex.org/none", _RDF + "nil",
+            False, None) in ts
+    # chain walk: outer list renders back to its items
+    outer_head = [t[2] for t in ts
+                  if t[1] == "http://ex.org/list"][0]
+    by_subj = {}
+    for t in ts:
+        by_subj.setdefault(t[0], {})[t[1]] = t[2]
+    items = []
+    cur = outer_head
+    while cur != _RDF + "nil":
+        items.append(by_subj[cur][_RDF + "first"])
+        cur = by_subj[cur][_RDF + "rest"]
+    assert items[0] == "a" and items[2] == "http://ex.org/c"
+    assert items[1].startswith("_:gen")               # nested list head
+
+
+def test_turtle_numeric_boolean_literals():
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:s ex:i 42 ; ex:d 1.5 ; ex:e 2e3 ; ex:neg -7 ; ex:t true ;
+         ex:f false .
+    """
+    ts = {(t[1].rsplit("/", 1)[1]): (t[2], t[3]) for t in parse_turtle_doc(doc)}
+    assert ts["i"] == ("42", True)
+    assert ts["d"] == ("1.5", True)
+    assert ts["e"] == ("2e3", True)
+    assert ts["neg"] == ("-7", True)
+    assert ts["t"] == ("true", True)
+    assert ts["f"] == ("false", True)
+
+
+def test_turtle_bnode_prefix_scopes_files():
+    doc = "@prefix ex: <http://ex.org/> .\n_:x ex:p ex:o ."
+    a = parse_turtle_doc(doc, bnode_prefix="_:fileA#")
+    b = parse_turtle_doc(doc, bnode_prefix="_:fileB#")
+    assert a[0][0] == "_:fileA#x" and b[0][0] == "_:fileB#x"
