@@ -8,14 +8,15 @@ document span text.
 Ray shape: the label index is the *small side* — built once from the
 vocabulary triples, ``ray.put`` into the object store, and loaded once
 per actor in ``__init__`` (broadcast join, never a shuffle). Matching
-is token-window lookup: spans are tokenized once, and every window of
-1..max_label_tokens tokens is probed against a hash index. This is
-O(tokens × max_len) dict probes per span — no per-label scan.
+is a token-alphabet Aho-Corasick automaton built once per actor from
+the index: one amortized goto/fail transition per document token, with
+terminal-output chains yielding every label match — O(tokens) instead
+of the earlier O(tokens × max_label_tokens) window-probe scan.
 """
 
 from __future__ import annotations
 
-import re
+from collections import deque
 
 import pyarrow as pa
 
@@ -35,8 +36,6 @@ _LABEL_KIND = {
 # pref > alt > hidden, then lexicographic uri (deterministic, D5-style)
 _KIND_RANK = {"pref": 0, "alt": 1, "hidden": 2}
 _KIND_SCORE = {"pref": 1.0, "alt": 0.8, "hidden": 0.6}
-
-_TOKEN_RE = re.compile(r"\S+")
 
 
 def build_label_index(vocab_triples: pa.Table) -> dict[str, tuple[str, str]]:
@@ -63,6 +62,78 @@ def build_label_index(vocab_triples: pa.Table) -> dict[str, tuple[str, str]]:
     return {norm: (uri, kind) for norm, (_r, uri, kind) in best.items()}
 
 
+class _TokenAC:
+    """Aho-Corasick automaton over a *token* alphabet.
+
+    Patterns are normalized label surfaces (single-space separated, so
+    their tokens are exactly ``surface.split(" ")``). ``scan_best``
+    returns, for each token position, the longest pattern starting
+    there — which is exactly what the greedy longest-match-first
+    linking semantics consume. Pure stdlib dict-of-dicts goto/fail;
+    built once per actor in ``LinkerStage._resolve``.
+    """
+
+    __slots__ = ("goto", "fail", "term", "out_link", "patterns")
+
+    def __init__(self, index: dict[str, tuple[str, str]]):
+        goto: list[dict[str, int]] = [{}]
+        term: list[int] = [-1]
+        # patterns[pid] = (surface, uri, kind, n_tokens)
+        patterns: list[tuple[str, str, str, int]] = []
+        for surface, (uri, kind) in index.items():
+            toks = surface.split(" ")
+            node = 0
+            for t in toks:
+                nxt = goto[node].get(t)
+                if nxt is None:
+                    nxt = len(goto)
+                    goto[node][t] = nxt
+                    goto.append({})
+                    term.append(-1)
+                node = nxt
+            term[node] = len(patterns)
+            patterns.append((surface, uri, kind, len(toks)))
+        fail = [0] * len(goto)
+        # nearest proper-suffix state that is terminal (-1 if none)
+        out_link = [-1] * len(goto)
+        q = deque(goto[0].values())
+        while q:
+            u = q.popleft()
+            fu = fail[u]
+            out_link[u] = fu if term[fu] >= 0 else out_link[fu]
+            for tok, v in goto[u].items():
+                f = fu
+                while f and tok not in goto[f]:
+                    f = fail[f]
+                fail[v] = goto[f].get(tok, 0)
+                q.append(v)
+        self.goto = goto
+        self.fail = fail
+        self.term = term
+        self.out_link = out_link
+        self.patterns = patterns
+
+    def scan_best(self, tokens: list[str]) -> dict[int, int]:
+        """start token index -> pattern id of the LONGEST match there."""
+        goto, fail, term, out_link, patterns = (
+            self.goto, self.fail, self.term, self.out_link, self.patterns)
+        best: dict[int, int] = {}
+        node = 0
+        for j, tok in enumerate(tokens):
+            while node and tok not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(tok, 0)
+            u = node if term[node] >= 0 else out_link[node]
+            while u >= 0:
+                pid = term[u]
+                start = j - patterns[pid][3] + 1
+                cur = best.get(start)
+                if cur is None or patterns[pid][3] > patterns[cur][3]:
+                    best[start] = pid
+                u = out_link[u]
+        return best
+
+
 class LinkerStage:
     """Actor-pool stage: documents batch -> mentions batch.
 
@@ -82,12 +153,9 @@ class LinkerStage:
         index = (ray.get(self._ref)
                  if isinstance(self._ref, ray.ObjectRef) else self._ref)
         self.index: dict[str, tuple[str, str]] = index
-        self.max_len = max((s.count(" ") + 1 for s in index), default=1)
-        # first-token prefilter: a window can only match if its first
-        # token starts some label; most tokens fail this one set probe,
-        # skipping the max_len dict probes (the match loop dominates
-        # the whole pipeline's compute)
-        self.first_tokens = {s.split(" ", 1)[0] for s in index}
+        # automaton build is O(total label tokens), once per actor /
+        # worker process — the per-batch path never rebuilds it
+        self.ac = _TokenAC(index)
         self._resolved = True
 
     def __getstate__(self):
@@ -98,30 +166,27 @@ class LinkerStage:
         """All non-overlapping label matches in one span's text.
 
         Greedy longest-match-first at each token position (a linked
-        'New York City' does not also yield 'New York')."""
+        'New York City' does not also yield 'New York'): one automaton
+        pass records the longest pattern starting at every token, then
+        a left-to-right walk consumes matched tokens."""
         norm = normalize_surface(text)
-        tokens = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(norm)]
+        if not norm:
+            return []
+        tokens = norm.split(" ")
+        best = self.ac.scan_best(tokens)
+        if not best:
+            return []
+        patterns = self.ac.patterns
         out = []
         i, n = 0, len(tokens)
-        first_tokens = self.first_tokens
         while i < n:
-            if tokens[i][0] not in first_tokens:
+            pid = best.get(i)
+            if pid is None:
                 i += 1
                 continue
-            hit = None
-            for ln in range(min(self.max_len, n - i), 0, -1):
-                start = tokens[i][1]
-                end = tokens[i + ln - 1][1] + len(tokens[i + ln - 1][0])
-                window = norm[start:end]
-                entry = self.index.get(window)
-                if entry is not None:
-                    hit = (window, entry, ln)
-                    break
-            if hit is None:
-                i += 1
-            else:
-                out.append((hit[0], hit[1][0], hit[1][1]))
-                i += hit[2]
+            surface, uri, kind, ln = patterns[pid]
+            out.append((surface, uri, kind))
+            i += ln
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
