@@ -34,10 +34,40 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+_TINY_ROWS = 32768
+
+
+def _meta_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — never touches data pages."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    kwargs = {}
+    n = _meta_rows(sf_dir, table)
+    if n < _TINY_ROWS:
+        # A tiny table split into Ray's default ~2x-cpus blocks pays
+        # more per-task dispatch than compute: 64 blocks of 78 rows
+        # cost 2.8 s for a 5000-row dedup, 8 blocks 0.3 s (measured,
+        # BASELINE.md). Clamp block count so each block carries >=
+        # ~256 rows; large tables keep Ray's own splitting, so the
+        # scale path is untouched.
+        kwargs["override_num_blocks"] = max(4, min(32, n // 256 + 1))
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _adaptive_buckets(sf_dir: str, table: str, *, rows_per_bucket: int = 1000,
+                      lo: int = 8, hi: int = 64) -> int:
+    """Reduce-side bucket count sized to the table: tiny inputs pay
+    per-reduce-task dispatch, huge ones need the full fan-out. At
+    100 TB callers should pass an explicit num_buckets >= cluster
+    reduce slots instead."""
+    return max(lo, min(hi, _meta_rows(sf_dir, table) // rows_per_bucket + 1))
 
 
 def _round_col(tbl: pa.Table, col: str, ndigits: int) -> pa.Table:
@@ -100,7 +130,8 @@ def doc_dedup_exact(sf_dir: str):
     ds = ds.map_batches(_text_hash_batch, batch_format="pyarrow")
     out = bucket_aggregate(ds.select_columns(["_h", "doc_id"]), ["_h"],
                            [("min", "doc_id", "doc_id"),
-                            ("count", None, "n_copies")])
+                            ("count", None, "n_copies")],
+                           num_buckets=_adaptive_buckets(sf_dir, "documents"))
     return out.select_columns(["doc_id", "n_copies"])
 
 

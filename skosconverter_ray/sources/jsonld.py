@@ -5,14 +5,18 @@ Covers the expanded/compacted shapes SKOS vocabularies ship in
 skos_converter.py:566-582): a top-level node object, a list of nodes,
 or ``{"@context": ..., "@graph": [...]}``. Supported term forms:
 
-- ``@context``: prefix -> IRI strings and term definitions
-  ``{"@id": ..., "@type": "@id"|"@language": ...}`` (nested maps
-  ignored beyond @id)
-- node objects: ``@id``, ``@type`` (string or list), property keys
-  (absolute IRI, prefixed name, or context term)
+- ``@context``: prefix -> IRI strings, ``@vocab``, and term
+  definitions ``{"@id": ..., "@type": "@id", "@language": ...,
+  "@container": "@list", "@context": {...}}`` (scoped contexts merge
+  into the active context while processing that term's values)
+- node objects: ``@id`` (IRI, curie, or ``_:label`` blank node;
+  anonymous nodes get synthesized ``_:genN`` labels), ``@type``
+  (string or list), ``@reverse`` maps, property keys (absolute IRI,
+  prefixed name, context term, or @vocab-relative term)
 - values: plain strings, ``{"@id": ...}`` refs, ``{"@value": ...,
-  "@language": ...}`` literals, lists of any of these, nested node
-  objects (recursed; must carry @id)
+  "@language": ...}`` literals, ``{"@list": [...]}`` collections
+  (desugared to rdf:first/rest/nil chains, matching the Turtle
+  reader), lists of any of these, and nested node objects (recursed)
 
 Per-document parse, file-parallel — same shape as the Turtle reader.
 """
@@ -26,12 +30,16 @@ import pyarrow as pa
 from .. import schemas
 from .turtle import triples_to_table
 
-_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_TYPE = _RDF_NS + "type"
+_RDF_FIRST, _RDF_REST, _RDF_NIL = (_RDF_NS + "first", _RDF_NS + "rest",
+                                   _RDF_NS + "nil")
 
 
 def _build_context(ctx) -> dict:
-    """context -> {term: (iri, is_ref)}; prefix entries end with /#:."""
-    out: dict[str, tuple[str, bool]] = {}
+    """context -> {term: (iri, is_ref, scoped_ctx_or_None)} plus the
+    special key ``"@vocab"`` -> (iri, False, None)."""
+    out: dict[str, tuple[str, bool, dict | None]] = {}
     if isinstance(ctx, list):
         for c in ctx:
             out.update(_build_context(c))
@@ -39,12 +47,17 @@ def _build_context(ctx) -> dict:
     if not isinstance(ctx, dict):
         return out
     for term, spec in ctx.items():
+        if term == "@vocab" and isinstance(spec, str):
+            out["@vocab"] = (spec, False, None)
+            continue
         if term.startswith("@"):
             continue
         if isinstance(spec, str):
-            out[term] = (spec, False)
-        elif isinstance(spec, dict) and "@id" in spec:
-            out[term] = (spec["@id"], spec.get("@type") == "@id")
+            out[term] = (spec, False, None)
+        elif isinstance(spec, dict) and ("@id" in spec or "@context" in spec):
+            iri = spec.get("@id", term)
+            out[term] = (iri, spec.get("@type") == "@id",
+                         spec.get("@context"))
     return out
 
 
@@ -52,12 +65,16 @@ def _expand_key(key: str, ctx: dict) -> str | None:
     if key.startswith("@"):
         return None
     if key in ctx:
-        return ctx[key][0]
+        return _expand_ref(ctx[key][0], ctx) if ":" in ctx[key][0] \
+            else ctx[key][0]
     if ":" in key:
         pfx, local = key.split(":", 1)
         if pfx in ctx and not local.startswith("//"):
             return ctx[pfx][0] + local
         return key  # absolute IRI (http://...) or unknown curie as-is
+    vocab = ctx.get("@vocab")
+    if vocab is not None:
+        return vocab[0] + key
     return None  # bare term with no context entry: skip
 
 
@@ -69,48 +86,111 @@ def _expand_ref(val: str, ctx: dict) -> str:
     return val
 
 
-def _walk_node(node: dict, ctx: dict, triples: list, strict: bool) -> str | None:
-    subj = node.get("@id")
-    if subj is None:
-        if strict:
-            raise ValueError("node object without @id")
+class _Parser:
+    """One document's parse state: blank-node counter + triple sink."""
+
+    def __init__(self, bnode_prefix: str):
+        self.bnode_prefix = bnode_prefix
+        self.triples: list[tuple] = []
+        self._gen = iter(range(1 << 30))
+
+    def new_bnode(self) -> str:
+        return f"{self.bnode_prefix}gen{next(self._gen)}"
+
+    def node_id(self, raw: str | None, ctx: dict) -> str:
+        if raw is None:
+            return self.new_bnode()
+        if raw.startswith("_:"):
+            return self.bnode_prefix + raw[2:]
+        return _expand_ref(raw, ctx)
+
+    def value_term(self, v, ctx: dict, is_ref_term: bool):
+        """One (non-@list) value -> (obj, is_literal, lang) or None."""
+        if isinstance(v, dict):
+            if "@value" in v:
+                return (str(v["@value"]), True, v.get("@language"))
+            if "@id" in v and len(v) == 1:
+                return (self.node_id(v["@id"], ctx), False, None)
+            if "@list" in v:
+                return (self.emit_list(v["@list"], ctx, is_ref_term),
+                        False, None)
+            child = self.walk_node(v, ctx)  # nested node object
+            return (child, False, None) if child is not None else None
+        if isinstance(v, str):
+            if is_ref_term:
+                return (self.node_id(v, ctx), False, None)
+            return (v, True, None)
+        if isinstance(v, (int, float, bool)):
+            return (json.dumps(v), True, None)
         return None
-    subj = _expand_ref(subj, ctx)
-    for key, val in node.items():
-        if key == "@type":
-            for t in (val if isinstance(val, list) else [val]):
-                triples.append((subj, _RDF_TYPE, _expand_ref(t, ctx),
-                                False, None))
-            continue
-        pred = _expand_key(key, ctx)
-        if pred is None:
-            continue
-        is_ref_term = key in ctx and ctx[key][1]
-        for v in (val if isinstance(val, list) else [val]):
-            if isinstance(v, dict):
-                if "@value" in v:
-                    triples.append((subj, pred, str(v["@value"]), True,
-                                    v.get("@language")))
-                elif "@id" in v and len(v) == 1:
-                    triples.append((subj, pred, _expand_ref(v["@id"], ctx),
-                                    False, None))
-                else:  # nested node object: edge + recurse
-                    child = _walk_node(v, ctx, triples, strict)
-                    if child is not None:
-                        triples.append((subj, pred, child, False, None))
-            elif isinstance(v, str):
-                if is_ref_term:
-                    triples.append((subj, pred, _expand_ref(v, ctx),
-                                    False, None))
+
+    def emit_list(self, items: list, ctx: dict, is_ref_term: bool) -> str:
+        """@list -> rdf:first/rest chain; returns the head term
+        (rdf:nil for the empty list) — same desugaring as the Turtle
+        reader's ``(...)`` collections (sources/turtle.py:203-209)."""
+        terms = [t for t in (self.value_term(i, ctx, is_ref_term)
+                             for i in items) if t is not None]
+        if not terms:
+            return _RDF_NIL
+        cells = [self.new_bnode() for _ in terms]
+        for i, (obj, is_lit, lang) in enumerate(terms):
+            self.triples.append((cells[i], _RDF_FIRST, obj, is_lit, lang))
+            rest = cells[i + 1] if i + 1 < len(terms) else _RDF_NIL
+            self.triples.append((cells[i], _RDF_REST, rest, False, None))
+        return cells[0]
+
+    def walk_node(self, node: dict, ctx: dict) -> str | None:
+        if "@context" in node:  # node-level nested context
+            ctx = {**ctx, **_build_context(node["@context"])}
+        subj = self.node_id(node.get("@id"), ctx)
+        for key, val in node.items():
+            if key == "@type":
+                for t in (val if isinstance(val, list) else [val]):
+                    self.triples.append(
+                        (subj, _RDF_TYPE, _expand_ref(t, ctx), False, None))
+                continue
+            if key == "@reverse":
+                if isinstance(val, dict):
+                    self.walk_reverse(subj, val, ctx)
+                continue
+            pred = _expand_key(key, ctx)
+            if pred is None:
+                continue
+            entry = ctx.get(key)
+            is_ref_term = entry is not None and entry[1]
+            # scoped context: active while processing this term's values
+            vctx = ({**ctx, **_build_context(entry[2])}
+                    if entry is not None and entry[2] else ctx)
+            for v in (val if isinstance(val, list) else [val]):
+                term = self.value_term(v, vctx, is_ref_term)
+                if term is not None:
+                    self.triples.append((subj, pred) + term)
+        return subj
+
+    def walk_reverse(self, subj: str, rev: dict, ctx: dict):
+        """@reverse: {pred: nodes} emits (node, pred, subj)."""
+        for key, val in rev.items():
+            pred = _expand_key(key, ctx)
+            if pred is None:
+                continue
+            for v in (val if isinstance(val, list) else [val]):
+                if isinstance(v, dict):
+                    other = (self.node_id(v["@id"], ctx)
+                             if set(v) == {"@id"} else self.walk_node(v, ctx))
+                elif isinstance(v, str):
+                    other = self.node_id(v, ctx)
                 else:
-                    triples.append((subj, pred, v, True, None))
-            elif isinstance(v, (int, float, bool)):
-                triples.append((subj, pred, json.dumps(v), True, None))
-    return subj
+                    other = None
+                if other is not None:
+                    self.triples.append((other, pred, subj, False, None))
 
 
-def parse_jsonld_doc(text: str) -> list[tuple]:
-    """One JSON-LD document -> [(subj, pred, obj, is_literal, lang)]."""
+def parse_jsonld_doc(text: str, *, bnode_prefix: str = "_:") -> list[tuple]:
+    """One JSON-LD document -> [(subj, pred, obj, is_literal, lang)].
+
+    Blank nodes (explicit ``_:label`` and synthesized anonymous-node /
+    @list cells) get ``bnode_prefix`` prepended — callers that union
+    many files pass a per-document prefix so labels never collide."""
     data = json.loads(text)
     ctx: dict = {}
     nodes: list
@@ -124,11 +204,11 @@ def parse_jsonld_doc(text: str) -> list[tuple]:
         nodes = data
     else:
         raise ValueError("top-level JSON-LD must be object or array")
-    triples: list[tuple] = []
+    p = _Parser(bnode_prefix)
     for node in nodes:
         if isinstance(node, dict):
-            _walk_node(node, ctx, triples, strict=False)
-    return triples
+            p.walk_node(node, ctx)
+    return p.triples
 
 
 def parse_jsonld_dataset(docs_ds, *, text_col: str = "text",
@@ -143,8 +223,10 @@ def parse_jsonld_dataset(docs_ds, *, text_col: str = "text",
         for doc_id, text in zip(batch[id_col].to_pylist(),
                                 batch[text_col].to_pylist()):
             try:
-                tables.append(
-                    triples_to_table(parse_jsonld_doc(text or ""), doc_id))
+                tables.append(triples_to_table(
+                    parse_jsonld_doc(text or "",
+                                     bnode_prefix=f"_:{doc_id}#"),
+                    doc_id))
             except (ValueError, json.JSONDecodeError) as e:
                 logging.getLogger(__name__).warning(
                     "json-ld parse failed for %s: %s", doc_id, e)
