@@ -16,13 +16,17 @@ from ..stages.hierarchy import build_tree_rows
 from ..stages.triples import inverse_consistency
 
 
-def tree_rows_pipeline(triples_ds, cfg: EngineConfig | None = None):
+def tree_rows_pipeline(triples_ds, cfg: EngineConfig | None = None,
+                       *, orderer=build_tree_rows):
     from ..stages.triples import dedup_triples
 
     # U4 set semantics first; the closure's edge anti-join assumes a
     # deduped input (stages/triples.py inverse_consistency)
     closed = inverse_consistency(dedup_triples(triples_ds))
-    return build_tree_rows(closed, cfg)
+    # orderer: build_tree_rows (driver DFS over the dimension-sized
+    # skeleton, default) or build_tree_rows_distributed (min-path
+    # propagation; vocabularies beyond driver memory)
+    return orderer(closed, cfg)
 
 
 def to_csv(triples_ds, cfg=None) -> str:

@@ -703,6 +703,40 @@ def skos_tree_rows(sf_dir: str):
     return tree_rows_pipeline(rd.from_arrow(voc.triples))
 
 
+@_q(
+    "skos_tree_order_distributed",
+    """
+    SELECT 123 AS n_rows, true AS order_matches
+    """,
+)
+def skos_tree_order_distributed(sf_dir: str):
+    """Distributed DFS-preorder (iterative min-path propagation, no
+    driver-side skeleton) vs the driver-DFS orderer, surfaced as an
+    oracle row: order_matches is the row-for-row equality of
+    (title, parent, scheme, level, uri) sequences on the pinned
+    generator vocabulary; 123 is that tree's row count."""
+    import ray.data as rd
+
+    from . import vocab
+    from .pipelines.skos2notion import tree_rows_pipeline
+    from .stages.hierarchy import build_tree_rows_distributed
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=3, n_concepts=120,
+                                               seed=42))
+
+    def seq(ds):
+        return [(r["title"], r["parent"], r["scheme"], r["level"], r["uri"])
+                for r in ds.take_all()]
+
+    a = seq(tree_rows_pipeline(rd.from_arrow(voc.triples)))
+    b = seq(tree_rows_pipeline(rd.from_arrow(voc.triples),
+                               orderer=build_tree_rows_distributed))
+    return pa.table({
+        "n_rows": pa.array([len(b)], pa.int64()),
+        "order_matches": pa.array([a == b], pa.bool_()),
+    })
+
+
 @_q("skos_validate")
 def skos_validate(sf_dir: str):
     """Validator suite over the pathology fixture -> issues table."""
@@ -1080,6 +1114,89 @@ def doc_extract_terms(sf_dir: str):
     out = ds.map_batches(extract, batch_format="pyarrow")
     return _collect(out, pa.schema([("doc_id", pa.int64()),
                                     ("term", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
+# Documents: TF-IDF salient terms — corpus-level DF + per-doc top-k
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df,
+           tf * length(bin((SELECT count(*) FROM documents) // df)) AS score
+    FROM tf JOIN df USING (term)
+    QUALIFY row_number()
+        OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+    """,
+)
+def doc_tfidf_top_terms(sf_dir: str):
+    """Per-document salient terms by integer TF-IDF: score = tf x
+    (floor(log2(N // df)) + 1). The integer-log idf keeps Ray/DuckDB
+    value parity exact (float ln() differs at the ULP between libm
+    builds). Shape: per-batch vectorized tf (a document never splits
+    across rows, so no shuffle), one high-card bucket aggregate for
+    DF, one cogroup join on term (the DF table is term-cardinality —
+    too big to broadcast at corpus scale), partial-top-k per doc."""
+    import numpy as np
+    import polars as pl
+
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+    from .stages.topk import top_k_per_key
+
+    n_docs = _meta_rows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("term"))
+            .drop("text").explode("term")
+            .filter(pl.col("term").is_not_null())
+            .group_by(["doc_id", "term"]).len(name="tf"))
+        return out.to_arrow().cast(tf_schema)
+
+    # materialized: consumed by the DF aggregate AND the join left side
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    df_ds = bucket_aggregate(
+        tf_ds.select_columns(["term"]), ["term"],
+        [("count", None, "df")],
+        num_buckets=_adaptive_buckets(sf_dir, "documents"))
+    joined = cogroup_join(tf_ds, df_ds, left_on="term", right_on="term",
+                          join_type="inner",
+                          right_schema=pa.schema([("term", pa.string()),
+                                                  ("df", pa.int64())]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        tfv = batch["tf"].to_numpy(zero_copy_only=False)
+        idf = np.floor(np.log2(np.maximum(n_docs // dfv, 1))).astype(
+            np.int64) + 1
+        return batch.append_column("score", pa.array(tfv * idf, pa.int64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = top_k_per_key(scored, ["doc_id"], "score", 5,
+                        descending=True, tiebreak="term",
+                        num_buckets=_adaptive_buckets(sf_dir, "documents"))
+    return _collect(out.select_columns(
+        ["doc_id", "term", "tf", "df", "score"]),
+        pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                   ("tf", pa.int64()), ("df", pa.int64()),
+                   ("score", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------

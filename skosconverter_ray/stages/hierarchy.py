@@ -10,9 +10,11 @@ skeleton is aggregated with Ray (pivot shuffle on subj, edge groupby on
 child), streamed to the driver, ordered with an exact
 reference-faithful DFS, and the resulting ``uri -> (seq, level, ...)``
 map is broadcast back for a single ``map_batches`` join. No
-corpus-scale table ever enters this module. (An iterative
-level-propagation variant would replace the driver DFS if vocabularies
-outgrew driver memory; see SURVEY.md §7.3.)
+corpus-scale table ever enters this module. For vocabularies that
+outgrow driver memory, ``build_tree_rows_distributed`` computes the
+same preorder with iterative min-path label propagation (no driver
+DFS, no driver-side skeleton) — parity pinned by
+tests/test_hierarchy_distributed.py.
 
 Determinism decisions (SURVEY.md D5): display parent = min(parent URI);
 sibling order = (label, uri); schemes ordered by (label, uri);
@@ -216,4 +218,434 @@ def build_tree_rows(triples_ds, cfg: EngineConfig | None = None):
         schema=schemas.TREE_ROWS,
     )) if synth_rows else None
     out = concept_rows.union(synth) if synth is not None else concept_rows
+    return out.sort("sort_key")
+
+
+# ---------------------------------------------------------------------------
+# Distributed DFS-preorder (the level-propagation variant promised in the
+# module docstring): for vocabularies too big for the driver DFS.
+# ---------------------------------------------------------------------------
+
+# Sort-key segment encoding. Sibling order is (label, uri); a segment
+#   "\x02" + label + "\x01" + uri + "\x00"
+# makes lexicographic comparison of concatenated segments equal to
+# tuple-order DFS traversal. "\x03" is the orphan-container marker
+# (sorts after every "\x02" top subtree within a scheme); "\x7f" is the
+# global unassigned prefix (sorts after every scheme segment). Assumes
+# labels/URIs contain no control characters < \x04 (SKOS lexical space;
+# same assumption the Turtle writer makes about \x00).
+_SEG_HEAD, _SEG_MID, _SEG_TAIL = "\x02", "\x01", "\x00"
+_CONTAINER_MARK = "\x03"
+_UNASSIGNED_MARK = "\x7f"
+
+
+def _seg_array(label_col, uri_col) -> pa.Array:
+    lbl = pc.fill_null(label_col, "")
+    return pc.binary_join_element_wise(
+        pa.scalar(_SEG_HEAD), lbl, pa.scalar(_SEG_MID), uri_col,
+        pa.scalar(_SEG_TAIL), pa.scalar(""))
+
+
+def _min_path_rows(ds, *, num_buckets: int = 32):
+    """Per-uri row with the lexicographically smallest path (= the
+    first DFS visit). One partial-top-k + one coarse cogroup."""
+    from .topk import top_k_per_key
+
+    return top_k_per_key(ds, ["uri"], "path", 1, descending=False,
+                         tiebreak="path", num_buckets=num_buckets,
+                         bucket_key="uri")
+
+
+def build_tree_rows_distributed(triples_ds, cfg: EngineConfig | None = None):
+    """``build_tree_rows`` without the driver DFS: DFS-preorder sort
+    keys via iterative min-path propagation over the display-parent
+    edges. The skeleton never collects on the driver.
+
+    Equivalence to the driver DFS: each concept has exactly one display
+    parent (min parent URI), so the hierarchy is a functional graph and
+    the reference DFS's "first visit wins" is exactly "lexicographically
+    smallest root path wins". Propagation is label-correcting: a round
+    emits child paths from every improved node, keeps the per-node
+    minimum, and stops when a round improves nothing (cycles terminate
+    because a path through a cycle strictly extends, hence exceeds, the
+    node's existing path; depth is additionally capped at
+    ``cfg.max_hierarchy_depth``, reproducing the reference's recursion
+    bound). Cost: <= depth rounds x 2 dimension-sized cogroup
+    exchanges; blocks are repartitioned each round so iterated shuffles
+    stay flat (BASELINE.md pitfall).
+    """
+    import ray.data as rd
+
+    from .joinutil import cogroup_join
+
+    cfg = cfg or EngineConfig()
+    nb = max(8, cfg.shuffle_partitions // 2)
+    concepts = pivot_concepts(triples_ds, cfg).materialize()
+    parents = display_parents(triples_ds)
+
+    slim_schema = pa.schema([
+        ("uri", pa.string()), ("label", pa.string()),
+        ("scheme", pa.string()), ("is_top", pa.bool_()),
+        ("is_concept", pa.bool_()), ("is_scheme", pa.bool_()),
+        ("seg", pa.string()),
+    ])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "uri": batch["uri"], "label": batch["pref_label"],
+            "scheme": batch["scheme"], "is_top": batch["is_top"],
+            "is_concept": batch["is_concept"],
+            "is_scheme": batch["is_scheme"],
+            "seg": _seg_array(batch["pref_label"].combine_chunks(),
+                              batch["uri"].combine_chunks()),
+        }, schema=slim_schema)
+
+    base = concepts.map_batches(slim, batch_format="pyarrow")
+    parents_schema = pa.schema([("child", pa.string()),
+                                ("parent", pa.string())])
+    skel = cogroup_join(
+        base, parents, left_on="uri", right_on="child",
+        join_type="left outer", num_buckets=nb,
+        left_schema=slim_schema, right_schema=parents_schema,
+    ).materialize()
+    skel_schema = slim_schema.append(pa.field("parent", pa.string()))
+
+    # --- scheme dimension (label + seg per scheme URI) ---
+    scheme_schema = pa.schema([("s_uri", pa.string()),
+                               ("s_label", pa.string()),
+                               ("s_seg", pa.string())])
+
+    def scheme_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["is_scheme"])
+        return pa.table({"s_uri": t["uri"], "s_label": t["label"],
+                         "s_seg": t["seg"]}, schema=scheme_schema)
+
+    schemes = skel.map_batches(scheme_rows, batch_format="pyarrow")
+
+    # --- roots: tops (level 1) and scheme orphans (level 2) ---
+    state_schema = pa.schema([
+        ("uri", pa.string()), ("path", pa.string()),
+        ("level", pa.int32()), ("parent_title", pa.string()),
+        ("scheme_label", pa.string()), ("label", pa.string()),
+        ("depth", pa.int32()),
+    ])
+
+    def concept_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["is_concept"])
+        return t.select(["uri", "label", "scheme", "is_top", "seg",
+                         "parent"])
+
+    c_side = skel.map_batches(concept_side, batch_format="pyarrow")
+    c_schema = pa.schema([skel_schema.field(n) for n in
+                          ("uri", "label", "scheme", "is_top", "seg",
+                           "parent")])
+    # materialized: consumed twice (roots + container headers) and a
+    # lazy fan-out would re-execute the join per consumer (BASELINE.md
+    # shared-lineage pitfall)
+    with_scheme = cogroup_join(
+        c_side, schemes, left_on="scheme", right_on="s_uri",
+        join_type="inner", num_buckets=nb,
+        left_schema=c_schema, right_schema=scheme_schema).materialize()
+
+    def make_roots(batch: pa.Table) -> pa.Table:
+        tops = batch.filter(batch["is_top"])
+        t_lbl = pc.fill_null(tops["s_label"], "None")
+        orph = batch.filter(pc.and_(
+            pc.and_(pc.invert(batch["is_top"]),
+                    pc.is_null(batch["parent"]))
+            , pc.is_valid(batch["s_seg"])))
+        o_lbl = pc.fill_null(orph["s_label"], "None")
+        parts = []
+        if tops.num_rows:
+            parts.append(pa.table({
+                "uri": tops["uri"],
+                "path": pc.binary_join_element_wise(
+                    tops["s_seg"].combine_chunks(),
+                    tops["seg"].combine_chunks(), pa.scalar("")),
+                "level": pa.array([1] * tops.num_rows, pa.int32()),
+                "parent_title": pc.binary_join_element_wise(
+                    pa.scalar("[SCHEME] "), t_lbl, pa.scalar("")),
+                "scheme_label": tops["s_label"],
+                "label": tops["label"],
+                "depth": pa.array([1] * tops.num_rows, pa.int32()),
+            }, schema=state_schema))
+        if orph.num_rows:
+            parts.append(pa.table({
+                "uri": orph["uri"],
+                "path": pc.binary_join_element_wise(
+                    orph["s_seg"].combine_chunks(),
+                    pa.scalar(_CONTAINER_MARK),
+                    orph["seg"].combine_chunks(), pa.scalar("")),
+                "level": pa.array([2] * orph.num_rows, pa.int32()),
+                "parent_title": pc.binary_join_element_wise(
+                    pa.scalar("[Other Concepts in "), o_lbl,
+                    pa.scalar("]"), pa.scalar("")),
+                "scheme_label": orph["s_label"],
+                "label": orph["label"],
+                "depth": pa.array([1] * orph.num_rows, pa.int32()),
+            }, schema=state_schema))
+        if not parts:
+            return state_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    best = (with_scheme.map_batches(make_roots, batch_format="pyarrow")
+            .repartition(nb).materialize())
+    frontier = best
+
+    # child side of the per-round join, keyed on parent; carries the
+    # child's own label so the next round's parent_title needs no
+    # extra join
+    child_schema = pa.schema([("uri", pa.string()), ("seg", pa.string()),
+                              ("c_label", pa.string()),
+                              ("parent", pa.string())])
+
+    def child_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(batch["is_concept"],
+                                 pc.is_valid(batch["parent"])))
+        return pa.table({"uri": t["uri"], "seg": t["seg"],
+                         "c_label": t["label"], "parent": t["parent"]},
+                        schema=child_schema)
+
+    children = skel.map_batches(
+        child_side, batch_format="pyarrow").materialize()
+
+    f_schema = pa.schema([("f_uri", pa.string()), ("f_path", pa.string()),
+                          ("f_level", pa.int32()),
+                          ("f_label", pa.string()),
+                          ("f_scheme_label", pa.string()),
+                          ("f_depth", pa.int32())])
+
+    # per-round cost: 2 exchanges — the children x frontier cogroup
+    # join, and ONE top-k cogroup that merges candidates into `best`
+    # (per-uri min path; `origin` tiebreak prefers the incumbent on
+    # equal paths so an equal candidate is not a false improvement)
+    from .topk import top_k_per_key
+
+    tag_schema = state_schema.append(pa.field("origin", pa.int8()))
+
+    def tag(origin: int):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {n: batch[n] for n in state_schema.names}
+            cols["origin"] = pa.array([origin] * batch.num_rows, pa.int8())
+            return pa.table(cols, schema=tag_schema)
+        return f
+
+    for _round in range(cfg.max_hierarchy_depth - 1):
+        def to_frontier(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "f_uri": batch["uri"], "f_path": batch["path"],
+                "f_level": batch["level"], "f_label": batch["label"],
+                "f_scheme_label": batch["scheme_label"],
+                "f_depth": batch["depth"],
+            }, schema=f_schema)
+
+        fr = frontier.map_batches(to_frontier, batch_format="pyarrow")
+        cand = cogroup_join(
+            children, fr, left_on="parent", right_on="f_uri",
+            join_type="inner", num_buckets=nb,
+            left_schema=child_schema, right_schema=f_schema)
+
+        def extend(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "uri": batch["uri"],
+                "path": pc.binary_join_element_wise(
+                    batch["f_path"].combine_chunks(),
+                    batch["seg"].combine_chunks(), pa.scalar("")),
+                "level": pc.add(batch["f_level"], pa.scalar(1, pa.int32())),
+                "parent_title": batch["f_label"],
+                "scheme_label": batch["f_scheme_label"],
+                "label": batch["c_label"],
+                "depth": pc.add(batch["f_depth"], pa.scalar(1, pa.int32())),
+            }, schema=state_schema)
+
+        cand = cand.map_batches(extend, batch_format="pyarrow") \
+                   .map_batches(tag(1), batch_format="pyarrow")
+        merged = top_k_per_key(
+            best.map_batches(tag(0), batch_format="pyarrow").union(cand),
+            ["uri"], "path", 1, descending=False, tiebreak="origin",
+            num_buckets=nb, bucket_key="uri",
+        ).repartition(nb).materialize()
+
+        frontier = merged.map_batches(
+            lambda b: b.filter(pc.equal(b["origin"], pa.scalar(1, pa.int8())))
+                       .drop_columns(["origin"]),
+            batch_format="pyarrow").materialize()
+        best = merged.map_batches(
+            lambda b: b.drop_columns(["origin"]), batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+
+    # --- unassigned: concepts never placed ---
+    placed_keys = best.map_batches(
+        lambda b: pa.table({"p_uri": b["uri"]},
+                           schema=pa.schema([("p_uri", pa.string())])),
+        batch_format="pyarrow")
+    unassigned = cogroup_join(
+        c_side, placed_keys, left_on="uri", right_on="p_uri",
+        join_type="left anti", num_buckets=nb,
+        left_schema=c_schema,
+        right_schema=pa.schema([("p_uri", pa.string())]))
+
+    def unassigned_state(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "uri": batch["uri"],
+            "path": pc.binary_join_element_wise(
+                pa.scalar(_UNASSIGNED_MARK),
+                batch["seg"].combine_chunks(), pa.scalar("")),
+            "level": pa.array([1] * batch.num_rows, pa.int32()),
+            "parent_title": pa.array([UNASSIGNED_TITLE] * batch.num_rows,
+                                     pa.string()),
+            "scheme_label": pa.array([""] * batch.num_rows, pa.string()),
+            "label": batch["label"],
+            "depth": pa.array([1] * batch.num_rows, pa.int32()),
+        }, schema=state_schema)
+
+    un_state = unassigned.map_batches(
+        unassigned_state, batch_format="pyarrow").materialize()
+    placements = best.union(un_state)
+
+    # --- synthetic header rows (scheme / container / unassigned) ---
+    def scheme_headers(batch: pa.Table) -> pa.Table:
+        lbl = pc.fill_null(batch["s_label"], "None")
+        n = batch.num_rows
+        return pa.table({
+            "sort_key": batch["s_seg"],
+            "title": pc.binary_join_element_wise(
+                pa.scalar("[SCHEME] "), lbl, pa.scalar("")),
+            "parent": pa.array([""] * n, pa.string()),
+            "scheme": pc.fill_null(batch["s_label"], ""),
+            "definition": pa.array([""] * n, pa.string()),
+            "alt_labels": pa.array([""] * n, pa.string()),
+            "notation": pa.array([""] * n, pa.string()),
+            "uri": batch["s_uri"],
+            "level": pa.array([0] * n, pa.int32()),
+            "same_as": pa.array([""] * n, pa.string()),
+            "related": pa.array([""] * n, pa.string()),
+        }, schema=schemas.TREE_ROWS)
+
+    headers = schemes.map_batches(scheme_headers, batch_format="pyarrow")
+
+    # container headers: one per scheme that has orphans (derive from
+    # the level-2 container roots themselves; all fields per scheme are
+    # identical so min() is exact)
+    from .skew import bucket_aggregate
+
+    def container_src(batch: pa.Table) -> pa.Table:
+        # orphans are parentless (nobody's child) and non-top, so their
+        # placement is ALWAYS the container path — a container header
+        # exists iff its scheme has >= 1 such concept, exactly the
+        # driver DFS's condition
+        t = batch.filter(pc.and_(pc.invert(batch["is_top"]),
+                                 pc.is_null(batch["parent"])))
+        key = pc.binary_join_element_wise(
+            t["s_seg"].combine_chunks(), pa.scalar(_CONTAINER_MARK),
+            pa.scalar(""))
+        return pa.table({
+            "c_key": key,
+            "c_title": pc.binary_join_element_wise(
+                pa.scalar("[Other Concepts in "),
+                pc.fill_null(t["s_label"], "None"), pa.scalar("]"),
+                pa.scalar("")),
+            "c_scheme": pc.fill_null(t["s_label"], ""),
+        }, schema=pa.schema([("c_key", pa.string()),
+                             ("c_title", pa.string()),
+                             ("c_scheme", pa.string())]))
+
+    containers = bucket_aggregate(
+        with_scheme.map_batches(container_src, batch_format="pyarrow"),
+        ["c_key"], [("min", "c_title", "c_title"),
+                    ("min", "c_scheme", "c_scheme")], num_buckets=nb)
+
+    def container_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "sort_key": batch["c_key"], "title": batch["c_title"],
+            "parent": pc.binary_join_element_wise(
+                pa.scalar("[SCHEME] "),
+                pc.fill_null(batch["c_scheme"], "None"), pa.scalar("")),
+            "scheme": batch["c_scheme"],
+            "definition": pa.array([OTHER_DEF] * n, pa.string()),
+            "alt_labels": pa.array([""] * n, pa.string()),
+            "notation": pa.array([""] * n, pa.string()),
+            "uri": pa.array([""] * n, pa.string()),
+            "level": pa.array([1] * n, pa.int32()),
+            "same_as": pa.array([""] * n, pa.string()),
+            "related": pa.array([""] * n, pa.string()),
+        }, schema=schemas.TREE_ROWS)
+
+    container_hdrs = containers.map_batches(container_rows,
+                                            batch_format="pyarrow")
+
+    un_header = None
+    if un_state.count() > 0:
+        un_header = rd.from_arrow(pa.table({
+            "sort_key": [_UNASSIGNED_MARK], "title": [UNASSIGNED_TITLE],
+            "parent": [""], "scheme": [""],
+            "definition": [UNASSIGNED_DEF], "alt_labels": [""],
+            "notation": [""], "uri": [""],
+            "level": pa.array([0], pa.int32()),
+            "same_as": [""], "related": [""],
+        }, schema=schemas.TREE_ROWS))
+
+    # --- final: placements x full concept records -> TREE_ROWS ---
+    pl_schema = pa.schema([("pl_uri", pa.string()),
+                           ("sort_key", pa.string()),
+                           ("pl_level", pa.int32()),
+                           ("pl_parent", pa.string()),
+                           ("pl_scheme", pa.string())])
+
+    def pl_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pl_uri": batch["uri"], "sort_key": batch["path"],
+            "pl_level": batch["level"], "pl_parent": batch["parent_title"],
+            "pl_scheme": batch["scheme_label"],
+        }, schema=pl_schema)
+
+    # Arrow's hash join rejects list<> payload columns — flatten the
+    # list fields to their final ", "-joined render form up front
+    flat_schema = pa.schema([
+        ("uri", pa.string()), ("pref_label", pa.string()),
+        ("definition", pa.string()), ("alt_labels", pa.string()),
+        ("notation", pa.string()), ("same_as", pa.string()),
+        ("related", pa.string()),
+    ])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        def joinlist(col):
+            return pc.fill_null(pc.binary_join(col, ", "), "")
+
+        return pa.table({
+            "uri": batch["uri"], "pref_label": batch["pref_label"],
+            "definition": batch["definition"],
+            "alt_labels": joinlist(batch["alt_labels"]),
+            "notation": batch["notation"],
+            "same_as": joinlist(batch["same_as"]),
+            "related": joinlist(batch["related"]),
+        }, schema=flat_schema)
+
+    joined = cogroup_join(
+        concepts.map_batches(flatten, batch_format="pyarrow"),
+        placements.map_batches(pl_slim, batch_format="pyarrow"),
+        left_on="uri", right_on="pl_uri", join_type="inner",
+        num_buckets=nb, left_schema=flat_schema, right_schema=pl_schema)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "sort_key": batch["sort_key"],
+            "title": batch["pref_label"],
+            "parent": batch["pl_parent"],
+            "scheme": pc.fill_null(batch["pl_scheme"], ""),
+            "definition": batch["definition"],
+            "alt_labels": batch["alt_labels"],
+            "notation": batch["notation"],
+            "uri": batch["uri"],
+            "level": batch["pl_level"],
+            "same_as": batch["same_as"],
+            "related": batch["related"],
+        }, schema=schemas.TREE_ROWS)
+
+    concept_rows = joined.map_batches(finalize, batch_format="pyarrow")
+    out = concept_rows.union(headers).union(container_hdrs)
+    if un_header is not None:
+        out = out.union(un_header)
     return out.sort("sort_key")
