@@ -1147,6 +1147,17 @@ def doc_tfidf_top_terms(sf_dir: str):
     across rows, so no shuffle), one high-card bucket aggregate for
     DF, one cogroup join on term (the DF table is term-cardinality —
     too big to broadcast at corpus scale), partial-top-k per doc."""
+    return _collect(_doc_salient_terms(sf_dir, k=5),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("term", pa.string()),
+                               ("tf", pa.int64()), ("df", pa.int64()),
+                               ("score", pa.int64())]))
+
+
+def _doc_salient_terms(sf_dir: str, k: int):
+    """(doc_id, term, tf, df, score) Dataset of each document's top-k
+    integer-TF-IDF terms; shared by doc_tfidf_top_terms and
+    term_cooccurrence."""
     import numpy as np
     import polars as pl
 
@@ -1189,14 +1200,101 @@ def doc_tfidf_top_terms(sf_dir: str):
         return batch.append_column("score", pa.array(tfv * idf, pa.int64()))
 
     scored = joined.map_batches(score, batch_format="pyarrow")
-    out = top_k_per_key(scored, ["doc_id"], "score", 5,
+    out = top_k_per_key(scored, ["doc_id"], "score", k,
                         descending=True, tiebreak="term",
                         num_buckets=_adaptive_buckets(sf_dir, "documents"))
-    return _collect(out.select_columns(
-        ["doc_id", "term", "tf", "df", "score"]),
-        pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
-                   ("tf", pa.int64()), ("df", pa.int64()),
-                   ("score", pa.int64())]))
+    return out.select_columns(["doc_id", "term", "tf", "df", "score"])
+
+
+@_q(
+    "term_cooccurrence",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), top5 AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               tf * length(bin((SELECT count(*) FROM documents) // df))
+                 AS score
+        FROM tf JOIN df USING (term))
+      QUALIFY row_number()
+          OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+    )
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+    FROM top5 a JOIN top5 b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    ORDER BY n_docs DESC, term_a, term_b
+    LIMIT 50
+    """,
+)
+def term_cooccurrence(sf_dir: str):
+    """Top-50 co-occurring salient-term pairs: each document
+    contributes the unordered pairs of its top-5 TF-IDF terms (<=10
+    pairs/doc — the bounded-fanout shape that keeps pair explosion at
+    bay at corpus scale), counted with one high-card bucket aggregate.
+    Pair generation is a doc_id-bucket cogroup with template-based
+    intra-segment pair indexing — no per-document Python."""
+    import numpy as np
+
+    from .stages.skew import bucket_aggregate, bucket_codes
+
+    terms = _doc_salient_terms(sf_dir, k=5).select_columns(
+        ["doc_id", "term"])
+    nb = _adaptive_buckets(sf_dir, "documents")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(bucket_codes(batch["doc_id"], nb),
+                                pa.int32()))
+
+    # index templates: for a segment of length L, the (i, j) offsets of
+    # all i<j pairs — L is bounded by k=5 so templates are tiny
+    templates = {
+        L: np.array([(i, j) for i in range(L) for j in range(i + 1, L)],
+                    np.int64).reshape(-1, 2)
+        for L in range(2, 6)
+    }
+
+    def pairs(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        t = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, d))
+        d_s, t_s = d[order], t[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        lengths = np.diff(np.concatenate((starts, [len(d_s)])))
+        ia, ib = [], []
+        for L, tpl in templates.items():
+            seg = starts[lengths == L]
+            if len(seg) == 0:
+                continue
+            ia.append((seg[:, None] + tpl[:, 0][None, :]).ravel())
+            ib.append((seg[:, None] + tpl[:, 1][None, :]).ravel())
+        if not ia:
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string())})
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        return pa.table({"term_a": pa.array(t_s[ia], pa.string()),
+                         "term_b": pa.array(t_s[ib], pa.string())})
+
+    pair_ds = (terms.map_batches(tag, batch_format="pyarrow")
+               .groupby("_bucket").map_groups(pairs,
+                                              batch_format="pyarrow"))
+    counted = bucket_aggregate(pair_ds, ["term_a", "term_b"],
+                               [("count", None, "n_docs")],
+                               num_buckets=nb)
+    out = counted.sort(["n_docs", "term_a", "term_b"],
+                       descending=[True, False, False]).limit(50)
+    return _collect(out, pa.schema([("term_a", pa.string()),
+                                    ("term_b", pa.string()),
+                                    ("n_docs", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -2367,6 +2465,65 @@ def events_sessions(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     return sessionize(ds, gap_s=4 * 3600.0, num_buckets=32)
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, sess, min(ts) AS t1 FROM numbered
+      WHERE event_type = 'view' GROUP BY user_id, sess
+    ),
+    s2 AS (
+      SELECT n.user_id, n.sess, min(n.ts) AS t2
+      FROM numbered n JOIN s1 ON n.user_id = s1.user_id AND n.sess = s1.sess
+      WHERE n.event_type = 'click' AND n.ts >= s1.t1
+      GROUP BY n.user_id, n.sess
+    ),
+    s3 AS (
+      SELECT n.user_id, n.sess, min(n.ts) AS t3
+      FROM numbered n JOIN s2 ON n.user_id = s2.user_id AND n.sess = s2.sess
+      WHERE n.event_type = 'purchase' AND n.ts >= s2.t2
+      GROUP BY n.user_id, n.sess
+    )
+    SELECT 'view' AS stage, (SELECT count(*) FROM s1) AS n_sessions
+    UNION ALL
+    SELECT 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def events_funnel(sf_dir: str):
+    """Ordered-stage funnel (view -> click -> purchase) over 4-hour gap
+    sessions: a session reaches stage k when a stage-k event occurs at
+    or after its first qualifying stage-(k-1) event. One user-bucket
+    cogroup; per bucket each stage is a masked per-segment
+    minimum.reduceat — no joins, no per-session Python
+    (stages/window.funnel_sessions)."""
+    from ray.data.aggregate import Sum
+
+    from .stages.window import funnel_sessions
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    partials = funnel_sessions(
+        ds, stages=("view", "click", "purchase"), gap_s=4 * 3600.0,
+        num_buckets=32)
+    out = partials.groupby("stage").aggregate(
+        Sum("n_sessions", alias_name="n_sessions"))
+    return _collect(out, pa.schema([("stage", pa.string()),
+                                    ("n_sessions", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------

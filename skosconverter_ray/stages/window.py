@@ -235,3 +235,64 @@ def row_windows(events_ds, *, rows_preceding: int = 4,
         lambda b: _tag_user_cents(b, num_buckets), batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(windows,
                                                 batch_format="pyarrow")
+
+
+def funnel_sessions(events_ds, *, stages: tuple[str, ...],
+                    gap_s: float = 4 * 3600.0, num_buckets: int = 32):
+    """Ordered-stage funnel over gap sessions: a session "reaches"
+    stage k when an event of type ``stages[k]`` occurs at or after the
+    first qualifying stage-(k-1) event. Returns per-bucket partial
+    (stage, n_sessions) rows — sum per stage downstream.
+
+    Same single user-bucket cogroup as ``sessionize``; per bucket the
+    stage times are per-segment masked ``np.minimum.reduceat`` passes,
+    one per funnel stage — no joins, no per-session Python.
+    """
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    gap_us = np.int64(gap_s * 1_000_000)
+    sentinel = np.int64(np.iinfo(np.int64).max)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_bucket": pa.array((np.abs(uid) % num_buckets).astype(np.int32),
+                                pa.int32()),
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "event_type": batch["event_type"],
+        })
+
+    def funnel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s, et_s = u[order], ts[order], et[order]
+
+        user_change = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gap_break = np.concatenate(
+            ([False], (ts_s[1:] - ts_s[:-1]) > gap_us)) & ~user_change
+        seg_start = user_change | gap_break
+        seg = np.cumsum(seg_start) - 1
+        starts = np.flatnonzero(seg_start)
+
+        counts = []
+        threshold = np.full(len(starts), np.int64(np.iinfo(np.int64).min))
+        for st in stages:
+            masked = np.where((et_s == st) & (ts_s >= threshold[seg]),
+                              ts_s, sentinel)
+            t_k = np.minimum.reduceat(masked, starts)
+            counts.append(int((t_k != sentinel).sum()))
+            threshold = t_k  # unreached segments carry the sentinel:
+            # ts >= sentinel is never true, so later stages stay unreached
+        return pa.table({
+            "stage": pa.array(list(stages), pa.string()),
+            "n_sessions": pa.array(counts, pa.int64()),
+        })
+
+    tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(funnel,
+                                                batch_format="pyarrow")

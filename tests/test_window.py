@@ -167,3 +167,38 @@ def test_row_windows_matches_sequential(ray_session):
             gap = (None if i == 0 else
                    int((r["ts"] - rs[i - 1]["ts"]).total_seconds() * 1e6))
             assert got[r["event_id"]] == (run / 100.0, win / 100.0, gap)
+
+
+def test_funnel_sessions_ordered_stages(ray_session):
+    """Stage order matters: a purchase BEFORE the first view does not
+    count; one after a qualifying click does. Sessions split on gap."""
+    import ray.data as rd
+    import pyarrow as pa
+    from skosconverter_ray.stages.window import funnel_sessions
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1, session 0: view -> click -> purchase (reaches all 3)
+        (1, 0 * h, "view"), (1, 1 * h, "click"), (1, 2 * h, "purchase"),
+        # user 1, session 1 (gap > 4h): purchase then view (view only)
+        (1, 10 * h, "purchase"), (1, 11 * h, "view"),
+        # user 2: click before view; view then click counts, no purchase
+        (2, 0 * h, "click"), (2, 1 * h, "view"), (2, 2 * h, "click"),
+        # user 3: view only
+        (3, 0 * h, "view"),
+        # user 4: no view at all -> reaches nothing
+        (4, 0 * h, "click"), (4, 1 * h, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_sessions(rd.from_arrow(t),
+                          stages=("view", "click", "purchase"),
+                          gap_s=4 * 3600.0, num_buckets=4)
+    import collections
+    agg = collections.Counter()
+    for r in out.take_all():
+        agg[r["stage"]] += r["n_sessions"]
+    assert agg == {"view": 4, "click": 2, "purchase": 1}
