@@ -1207,6 +1207,83 @@ def _doc_salient_terms(sf_dir: str, k: int):
 
 
 @_q(
+    "inverted_index",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]{6,}')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    )
+    SELECT term, count(*) AS n_docs,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term HAVING count(*) >= 2
+    """,
+)
+def inverted_index(sf_dir: str):
+    """Search-index build: term -> sorted posting list of doc_ids
+    (terms with df >= 2; >=6-letter lowercase runs). Per-batch
+    vectorized (doc, term) dedup, then ONE term-bucket cogroup where
+    each bucket's postings are assembled with a single lexsort +
+    boundary-diff pass — the posting strings never re-shuffle. At
+    corpus scale each bucket holds |terms|/num_buckets posting lists;
+    raise num_buckets with the term count."""
+    import numpy as np
+    import polars as pl
+
+    from .stages.skew import bucket_codes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _adaptive_buckets(sf_dir, "documents")
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z]{6,}").alias("term"))
+            .drop("text").explode("term")
+            .filter(pl.col("term").is_not_null())
+            .unique(subset=["doc_id", "term"]))
+        t = out.to_arrow().cast(pa.schema([("doc_id", pa.int64()),
+                                           ("term", pa.string())]))
+        return t.append_column(
+            "_bucket", pa.array(bucket_codes(t["term"], nb), pa.int32()))
+
+    def postings(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        t = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))
+        d_s, t_s = d[order], t[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], t_s[1:] != t_s[:-1])))
+        lengths = np.diff(np.concatenate((starts, [len(t_s)])))
+        keep = lengths >= 2
+        starts, lengths = starts[keep], lengths[keep]
+        if len(starts) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        # one join per posting list, no per-doc Python: slice the
+        # sorted doc ids by segment
+        strs = d_s.astype("U20")
+        lists = [",".join(strs[s:s + ln]) for s, ln in
+                 zip(starts, lengths)]
+        return pa.table({
+            "term": pa.array(t_s[starts], pa.string()),
+            "n_docs": pa.array(lengths.astype(np.int64), pa.int64()),
+            "postings": pa.array(lists, pa.string()),
+        })
+
+    out = (ds.map_batches(doc_terms, batch_format="pyarrow")
+           .groupby("_bucket").map_groups(postings,
+                                          batch_format="pyarrow"))
+    return _collect(out, pa.schema([("term", pa.string()),
+                                    ("n_docs", pa.int64()),
+                                    ("postings", pa.string())]))
+
+
+@_q(
     "term_cooccurrence",
     r"""
     WITH tf AS (
@@ -2291,6 +2368,42 @@ def _markdown_projection(tbl: pa.Table) -> set:
         if c not in have_def:
             out.add((c, DEFN, scopes.get(c, "Lorem ipsum")))
     return out
+
+
+@_q(
+    "jsonld_graph_roundtrip",
+    """
+    SELECT true AS lossless, 449 AS n_triples
+    """,
+)
+def jsonld_graph_roundtrip(sf_dir: str):
+    """vocab triples -> expanded JSON-LD writer -> JSON-LD reader ->
+    exact triple-set equality, surfaced as an oracle row (449 = the
+    pinned generator vocabulary's triple count; JSON-LD, unlike the
+    markdown render, is a lossless carrier so the contract is set
+    EQUALITY, not P/R)."""
+    import ray.data as rd
+
+    from . import vocab
+    from .sources.jsonld import parse_jsonld_doc, to_jsonld_text
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=50,
+                                               seed=42))
+    text = to_jsonld_text(rd.from_arrow(voc.triples))
+    got = set(parse_jsonld_doc(text))
+    want = {
+        (s, p, o, lit, lang or None)
+        for s, p, o, lit, lang in zip(
+            voc.triples["subj"].to_pylist(),
+            voc.triples["pred"].to_pylist(),
+            voc.triples["obj"].to_pylist(),
+            voc.triples["obj_is_literal"].to_pylist(),
+            voc.triples["lang"].to_pylist())
+    }
+    return pa.table({
+        "lossless": pa.array([got == want], pa.bool_()),
+        "n_triples": pa.array([len(got)], pa.int64()),
+    })
 
 
 @_q(

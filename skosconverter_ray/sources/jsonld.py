@@ -235,3 +235,84 @@ def parse_jsonld_dataset(docs_ds, *, text_col: str = "text",
         return pa.concat_tables(tables)
 
     return docs_ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD writer (S8 symmetry: the engine reads AND writes every RDF
+# format it supports; reference serializes via rdflib,
+# skos_converter.py:566-582)
+# ---------------------------------------------------------------------------
+
+def nodes_from_triples(triples_ds, *, num_buckets: int = 32):
+    """triples Dataset -> (subj, node_json) Dataset: one expanded-form
+    JSON-LD node object per subject. One subj-bucket cogroup; node
+    assembly is local per bucket, so the sink scales with the number
+    of subjects, never the triple count per worker."""
+    import json as _json
+    import zlib
+
+    import numpy as np
+
+    from ..config import use_hash_shuffle
+    use_hash_shuffle()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        s = batch["subj"].to_pylist()
+        b = np.array([zlib.crc32(x.encode()) % num_buckets for x in s],
+                     np.int32)
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def build(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group["subj"].to_pylist(),
+                          group["pred"].to_pylist(),
+                          group["obj"].to_pylist(),
+                          group["obj_is_literal"].to_pylist(),
+                          [x or None for x in group["lang"].to_pylist()]))
+        subjects, jsons = [], []
+        node: dict | None = None
+        cur = None
+
+        def flush():
+            if node is None:
+                return
+            # deterministic value order inside each predicate list
+            for k, v in node.items():
+                if isinstance(v, list):
+                    v.sort(key=_json.dumps)
+            subjects.append(cur)
+            jsons.append(_json.dumps(node, sort_keys=True,
+                                     ensure_ascii=False))
+
+        for s, p, o, lit, lang in rows:
+            if s != cur:
+                flush()
+                cur, node = s, {"@id": s}
+            if p == _RDF_TYPE and not lit:
+                node.setdefault("@type", []).append(o)
+                continue
+            if lit:
+                val = {"@value": o}
+                if lang:
+                    val["@language"] = lang
+            else:
+                val = {"@id": o}
+            node.setdefault(p, []).append(val)
+        flush()
+        return pa.table({"subj": pa.array(subjects, pa.string()),
+                         "node_json": pa.array(jsons, pa.string())})
+
+    return (triples_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(build, batch_format="pyarrow"))
+
+
+def to_jsonld_text(triples_ds, *, num_buckets: int = 32) -> str:
+    """triples Dataset -> one expanded-form JSON-LD document string
+    (``{"@graph": [...]}``, nodes sorted by @id). Driver-assembled like
+    ``to_turtle_text``; for corpus-scale graphs write the (subj,
+    node_json) Dataset to sharded files instead."""
+    nodes = nodes_from_triples(triples_ds, num_buckets=num_buckets)
+    parts = []
+    for b in nodes.sort("subj").iter_batches(batch_format="pyarrow",
+                                             batch_size=8192):
+        parts.extend(b["node_json"].to_pylist())
+    return '{"@graph": [\n' + ",\n".join(parts) + "\n]}\n"

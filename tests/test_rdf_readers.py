@@ -316,3 +316,40 @@ def test_jsonld_curie_term_definition_expands():
     }
     assert parse_jsonld_doc(json.dumps(doc)) == [
         ("http://e/c", SKOS + "prefLabel", "Label", True, "en")]
+
+
+def test_jsonld_writer_roundtrip(ray_session):
+    """triples -> expanded JSON-LD -> reader -> identical triple set."""
+    import ray.data as rd
+    from skosconverter_ray import vocab
+    from skosconverter_ray.sources.jsonld import to_jsonld_text
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=30,
+                                               seed=7))
+    text = to_jsonld_text(rd.from_arrow(voc.triples))
+    got = set(parse_jsonld_doc(text))
+    want = {
+        (s, p, o, lit, lang or None)
+        for s, p, o, lit, lang in zip(
+            voc.triples["subj"].to_pylist(),
+            voc.triples["pred"].to_pylist(),
+            voc.triples["obj"].to_pylist(),
+            voc.triples["obj_is_literal"].to_pylist(),
+            voc.triples["lang"].to_pylist())
+    }
+    assert got == want
+
+
+def test_jsonld_writer_text_is_valid_json(ray_session):
+    import json as _json
+
+    import ray.data as rd
+    from skosconverter_ray import vocab
+    from skosconverter_ray.sources.jsonld import to_jsonld_text
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=1, n_concepts=5,
+                                               seed=3))
+    doc = _json.loads(to_jsonld_text(rd.from_arrow(voc.triples)))
+    assert "@graph" in doc and len(doc["@graph"]) > 0
+    ids = [n["@id"] for n in doc["@graph"]]
+    assert ids == sorted(ids)
