@@ -128,46 +128,63 @@ class EmitTriples:
         return {"_ref": self._ref, "_sub": None, "doc_ns": self.doc_ns}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from .. import schemas
 
-        rows = {k: [] for k in
-                ("subj", "pred", "obj", "obj_is_literal", "lang", "source_doc")}
-
-        def add(s, p, o, lit, lang, doc):
-            rows["subj"].append(s)
-            rows["pred"].append(p)
-            rows["obj"].append(o)
-            rows["obj_is_literal"].append(lit)
-            rows["lang"].append(lang)
-            rows["source_doc"].append(doc)
-
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].combine_chunks() \
+            if isinstance(batch["doc_id"], pa.ChunkedArray) \
+            else batch["doc_id"]
+        uris = batch["concept_uri"]
+        # mention edges: fully vectorized (this is the per-row bulk)
+        mentions = pa.table(
+            {
+                "subj": pc.binary_join_element_wise(
+                    pa.scalar(self.doc_ns), doc_ids, pa.scalar("")),
+                "pred": pa.array([PRED_MENTIONS] * n, pa.string()),
+                "obj": uris,
+                "obj_is_literal": pa.array([False] * n, pa.bool_()),
+                "lang": pa.nulls(n, pa.string()),
+                "source_doc": doc_ids,
+            },
+            schema=schemas.TRIPLES,
+        )
         # Per-batch combiner: the subgraph of a concept is emitted ONCE
         # per batch (not once per mentioning doc), attributed to the
         # batch-MIN mentioning doc. min is associative, so the global
         # dedup's min-source_doc tiebreak still lands on the overall
         # min mentioning doc — identical output, ~4-5x fewer rows into
-        # the object store and the dedup shuffle.
-        min_doc: dict[str, str] = {}
-        for doc_id, uri in zip(batch["doc_id"].to_pylist(),
-                               batch["concept_uri"].to_pylist()):
-            add(self.doc_ns + doc_id, PRED_MENTIONS, uri, False, None, doc_id)
-            prev = min_doc.get(uri)
-            if prev is None or doc_id < prev:
-                min_doc[uri] = doc_id
-        for uri, doc_id in min_doc.items():
+        # the object store and the dedup shuffle. The loop below is
+        # over DISTINCT batch concepts (vectorized group_by min), not
+        # mention rows.
+        mins = (batch.select(["concept_uri", "doc_id"])
+                .group_by("concept_uri").aggregate([("doc_id", "min")]))
+        rows = {k: [] for k in
+                ("subj", "pred", "obj", "obj_is_literal", "lang",
+                 "source_doc")}
+        for uri, doc_id in zip(mins["concept_uri"].to_pylist(),
+                               mins["doc_id_min"].to_pylist()):
             for subj, pred, obj, lit, lang in self.sub.get(uri, ()):
-                add(subj, pred, obj, lit, lang, doc_id)
-        return pa.table(
+                rows["subj"].append(subj)
+                rows["pred"].append(pred)
+                rows["obj"].append(obj)
+                rows["obj_is_literal"].append(lit)
+                rows["lang"].append(lang)
+                rows["source_doc"].append(doc_id)
+        subgraph = pa.table(
             {
                 "subj": pa.array(rows["subj"], pa.string()),
                 "pred": pa.array(rows["pred"], pa.string()),
                 "obj": pa.array(rows["obj"], pa.string()),
-                "obj_is_literal": pa.array(rows["obj_is_literal"], pa.bool_()),
+                "obj_is_literal": pa.array(rows["obj_is_literal"],
+                                           pa.bool_()),
                 "lang": pa.array(rows["lang"], pa.string()),
                 "source_doc": pa.array(rows["source_doc"], pa.string()),
             },
             schema=schemas.TRIPLES,
         )
+        return pa.concat_tables([mentions, subgraph])
 
 
 def run_flagship(docs_ds, vocab_triples: pa.Table, *,
