@@ -3313,6 +3313,10 @@ def supplier_nation_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _GATE_FIRST = [
+    # new in round 3 — no driver row yet
+    "skos_tree_order_distributed", "doc_tfidf_top_terms",
+    "term_cooccurrence", "events_funnel", "inverted_index",
+    "jsonld_graph_roundtrip",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",
