@@ -44,6 +44,9 @@ HEADLINE = [
     "events_asof_purchase",
     "events_by_type_salted",
     "region_customer_stats",
+    # round 3 additions
+    "doc_tfidf_top_terms",
+    "events_funnel",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

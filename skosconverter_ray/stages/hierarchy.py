@@ -309,6 +309,10 @@ def build_tree_rows_distributed(triples_ds, cfg: EngineConfig | None = None):
         left_schema=slim_schema, right_schema=parents_schema,
     ).materialize()
     skel_schema = slim_schema.append(pa.field("parent", pa.string()))
+    # the skeleton is dimension-sized; size the per-round exchanges to
+    # it (a 160-node vocabulary does not need 16-way buckets, a 10^6
+    # one keeps the configured fan-out)
+    nb = max(2, min(nb, skel.count() // 512 + 1))
 
     # --- scheme dimension (label + seg per scheme URI) ---
     scheme_schema = pa.schema([("s_uri", pa.string()),
