@@ -2581,6 +2581,67 @@ def events_sessions(sf_dir: str):
 
 
 @_q(
+    "events_histogram_align",
+    """
+    WITH p AS (
+      SELECT CAST(floor(value) AS BIGINT) AS b, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), c AS (
+      SELECT CAST(floor(value) AS BIGINT) AS b, count(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT COALESCE(p.b, c.b) AS b,
+           COALESCE(p.n, 0) AS n_purchase,
+           COALESCE(c.n, 0) AS n_click
+    FROM p FULL OUTER JOIN c ON p.b = c.b
+    """,
+)
+def events_histogram_align(sf_dir: str):
+    """Distribution comparison: align the integer-bucket value
+    histograms of two event types on one axis — a FULL OUTER cogroup
+    join (both sides keep their one-sided buckets; the coalesced key
+    comes back non-null). Each histogram is a map-side-combined bucket
+    aggregate, so only (bucket, count) partials shuffle."""
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_src(etype: str, alias: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], etype))
+            return pa.table({
+                alias: pc.cast(pc.floor(t["value"]), pa.int64())})
+        return f
+
+    p = bucket_aggregate(
+        ds.map_batches(hist_src("purchase", "b"), batch_format="pyarrow"),
+        ["b"], [("count", None, "n_purchase")], num_buckets=8)
+    c = bucket_aggregate(
+        ds.map_batches(hist_src("click", "cb"), batch_format="pyarrow"),
+        ["cb"], [("count", None, "n_click")], num_buckets=8)
+    joined = cogroup_join(
+        p, c, left_on="b", right_on="cb", join_type="full outer",
+        num_buckets=8,
+        left_schema=pa.schema([("b", pa.int64()),
+                               ("n_purchase", pa.int64())]),
+        right_schema=pa.schema([("cb", pa.int64()),
+                                ("n_click", pa.int64())]))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "b": batch["b"],
+            "n_purchase": pc.fill_null(batch["n_purchase"], 0),
+            "n_click": pc.fill_null(batch["n_click"], 0),
+        })
+
+    return _collect(joined.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("b", pa.int64()),
+                               ("n_purchase", pa.int64()),
+                               ("n_click", pa.int64())]))
+
+
+@_q(
     "events_funnel",
     """
     WITH marked AS (
@@ -3316,7 +3377,7 @@ _GATE_FIRST = [
     # new in round 3 — no driver row yet
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
-    "jsonld_graph_roundtrip",
+    "jsonld_graph_roundtrip", "events_histogram_align",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",

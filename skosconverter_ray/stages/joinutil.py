@@ -109,8 +109,22 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
                      .select(l_names))
         right = (group.filter(pc.equal(side, 1))
                       .select(r_names))
-        if left.num_rows == 0 or (right.num_rows == 0
-                                  and join_type in ("inner", "left semi")):
+        if left.num_rows == 0:
+            if join_type not in ("full outer", "right outer"):
+                return out_schema.empty_table()
+            # right-only bucket under an outer join that keeps right
+            # rows: left payload nulls, key echoed (coalesced-key
+            # semantics, matching Arrow's coalesce_keys=True below)
+            cols = {}
+            for n, t in out_fields:
+                if n in right.column_names:
+                    cols[n] = pc.cast(right[n], t)
+                elif n == left_on:
+                    cols[n] = pc.cast(right[right_on], t)
+                else:
+                    cols[n] = pa.nulls(right.num_rows, t)
+            return pa.table(cols, schema=out_schema)
+        if right.num_rows == 0 and join_type in ("inner", "left semi"):
             return out_schema.empty_table()
         if semi_anti:
             if right.num_rows == 0:  # anti: nothing to exclude

@@ -102,3 +102,47 @@ def test_key_dtype_mismatch_raises(ray_session):
             left_on="k", right_on="rk", num_buckets=2,
             left_schema=pa.schema([("k", pa.int64())]),
             right_schema=pa.schema([("rk", pa.int32())]))
+
+
+def test_full_outer_join(ray_session):
+    import pyarrow.compute as pc
+
+    left = rd.from_items([{"k": 1, "a": "l1"}, {"k": 2, "a": "l2"},
+                          {"k": 3, "a": "l3"}])
+    right = rd.from_items([{"rk": 2, "b": "r2"}, {"rk": 3, "b": "r3"},
+                           {"rk": 4, "b": "r4"}, {"rk": 5, "b": "r5"}])
+    out = cogroup_join(left, right, left_on="k", right_on="rk",
+                       join_type="full outer", num_buckets=4)
+    rows = {r["k"]: (r["a"], r["b"]) for r in out.take_all()}
+    # coalesced key: non-null for right-only rows too
+    assert rows == {1: ("l1", None), 2: ("l2", "r2"), 3: ("l3", "r3"),
+                    4: (None, "r4"), 5: (None, "r5")}
+    _ = pc
+
+
+def test_full_outer_join_empty_left(ray_session):
+    import pyarrow as pa
+
+    left_schema = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    left = rd.from_arrow(left_schema.empty_table())
+    right = rd.from_items([{"rk": 7, "b": "r7"}])
+    out = cogroup_join(left, right, left_on="k", right_on="rk",
+                       join_type="full outer", num_buckets=2,
+                       left_schema=left_schema)
+    rows = out.take_all()
+    assert len(rows) == 1
+    assert rows[0]["k"] == 7 and rows[0]["a"] is None and rows[0]["b"] == "r7"
+
+
+def test_full_outer_join_empty_right(ray_session):
+    import pyarrow as pa
+
+    right_schema = pa.schema([("rk", pa.int64()), ("b", pa.string())])
+    left = rd.from_items([{"k": 9, "a": "l9"}])
+    right = rd.from_arrow(right_schema.empty_table())
+    out = cogroup_join(left, right, left_on="k", right_on="rk",
+                       join_type="full outer", num_buckets=2,
+                       right_schema=right_schema)
+    rows = out.take_all()
+    assert len(rows) == 1
+    assert rows[0]["k"] == 9 and rows[0]["a"] == "l9" and rows[0]["b"] is None
