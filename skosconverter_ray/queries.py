@@ -2277,6 +2277,18 @@ def embedding_neardup_cosine(sf_dir: str):
                                       ("cos_sim", pa.float64())]))
 
 
+@_q("embedding_pca")
+def embedding_pca(sf_dir: str):
+    """Top-3 principal components of the embedding table (rows-only:
+    eigendecomposition is beyond SQL; numpy-oracle parity is
+    pytest-asserted in tests/test_similarity.py). Streaming
+    second-moment partials; only d x d blobs leave the workers."""
+    from .stages.similarity import embedding_pca as pca
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return pca(ds, top_k=3)
+
+
 @_q("ann_topk_ivf")
 def ann_topk_ivf(sf_dir: str):
     """IVF coarse-quantizer ANN (spherical k-means + n_probe), same
@@ -2578,6 +2590,95 @@ def events_sessions(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     return sessionize(ds, gap_s=4 * 3600.0, num_buckets=32)
+
+
+@_q(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           day_offset, count(*) AS n_users
+    FROM act WHERE day_offset <= 14
+    GROUP BY cohort, day_offset
+    """,
+)
+def events_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-activity date, distinct
+    active users per (cohort, day-offset) for offsets 0..14. One
+    user-bucket cogroup does everything — first-day, offsets, and
+    per-user dedup are all local to a user's bucket (vectorized
+    lexsort + boundary masks), so only (cohort, offset, partial count)
+    rows ever shuffle into the final aggregate."""
+    import numpy as np
+
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = 32
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_bucket": pa.array((np.abs(uid) % nb).astype(np.int32),
+                                pa.int32()),
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+        })
+
+    day_us = np.int64(86_400_000_000)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = ts // day_us  # epoch day (ts are all post-1970 here)
+        order = np.lexsort((day, u))
+        u_s, d_s = u[order], day[order]
+        head = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        # first day per user, broadcast to the user's run
+        idx = np.maximum.accumulate(np.where(head, np.arange(len(u_s)), 0))
+        cohort = d_s[idx]
+        offset = d_s - cohort
+        keep = offset <= 14
+        # distinct (user, offset): sorted by (u, day) so equal-day
+        # duplicates are adjacent
+        first_pair = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])))
+        m = keep & first_pair
+        return pa.table({
+            "cohort_day": pa.array(cohort[m], pa.int64()),
+            "day_offset": pa.array(offset[m], pa.int64()),
+        })
+
+    pairs = (ds.map_batches(bucket, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))
+    counted = bucket_aggregate(pairs, ["cohort_day", "day_offset"],
+                               [("count", None, "n_users")],
+                               num_buckets=16, bucket_key="cohort_day")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        days = batch["cohort_day"].to_numpy(zero_copy_only=False)
+        dates = (days * day_us).astype("datetime64[us]").astype(
+            "datetime64[D]")
+        return pa.table({
+            "cohort": pa.array(np.datetime_as_string(dates, unit="D")
+                               .tolist(), pa.string()),
+            "day_offset": batch["day_offset"],
+            "n_users": batch["n_users"],
+        })
+
+    return _collect(counted.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("cohort", pa.string()),
+                               ("day_offset", pa.int64()),
+                               ("n_users", pa.int64())]))
 
 
 @_q(
@@ -3378,6 +3479,7 @@ _GATE_FIRST = [
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
+    "events_retention", "embedding_pca",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",

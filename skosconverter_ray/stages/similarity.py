@@ -291,3 +291,54 @@ def embedding_neardup_lsh(emb_ds, *, id_col: str = "vec_id",
     return bucket_aggregate(pairs, ["vec_a", "vec_b"],
                             [("min", "cos_sim", "cos_sim")],
                             bucket_key="vec_a")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over an embedding column (training-data analysis:
+# effective dimensionality, whitening prep, 2-D projection for QA)
+# ---------------------------------------------------------------------------
+
+def embedding_pca(emb_ds, *, vec_col: str = "embedding", top_k: int = 3):
+    """One streaming pass of per-batch second-moment partials
+    (n, sum, X^T X — each a d x d-bounded blob, mergeable under
+    addition), folded on the driver into the covariance eigenproblem.
+    Only O(d^2) floats per block ever leave a worker, never the
+    vectors; d << corpus is the same dimension assumption every dense
+    retriever makes. Returns (component, eigenvalue,
+    explained_ratio) rows for the top_k principal components.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        return pa.table({
+            "n": pa.array([mat.shape[0]], pa.int64()),
+            "s": pa.array([mat.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(mat.T @ mat).ravel()], pa.list_(pa.float64())),
+        })
+
+    n_tot = 0
+    s_tot = None
+    ss_tot = None
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for i in range(b.num_rows):
+            n_tot += b["n"][i].as_py()
+            s = np.asarray(b["s"][i].as_py())
+            ss = np.asarray(b["ss"][i].as_py())
+            s_tot = s if s_tot is None else s_tot + s
+            ss_tot = ss if ss_tot is None else ss_tot + ss
+    if not n_tot:
+        raise ValueError("embedding_pca: empty input")
+    d = len(s_tot)
+    mean = s_tot / n_tot
+    cov = ss_tot.reshape(d, d) / n_tot - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]           # descending
+    total = float(evals.sum()) or 1.0
+    k = min(top_k, d)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "component": pa.array(range(k), pa.int64()),
+        "eigenvalue": pa.array(np.round(evals[:k], 8), pa.float64()),
+        "explained_ratio": pa.array(np.round(evals[:k] / total, 6),
+                                    pa.float64()),
+    }))

@@ -402,3 +402,29 @@ def test_neardup_clusters_distributed_path(ray_session, monkeypatch):
     assert got == [(1, 1), (2, 1), (3, 1),
                    (10, 10), (11, 10), (12, 10),
                    (20, 20), (21, 20)]
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed second-moment PCA == direct numpy eigendecomposition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.similarity import embedding_pca
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: known dominant directions
+    base = rng.normal(size=(400, 8)) * np.array(
+        [5.0, 3.0, 1.0, 0.5, 0.25, 0.1, 0.05, 0.01])
+    t = pa.table({"embedding": pa.array(base.tolist(),
+                                        pa.list_(pa.float32()))})
+    out = embedding_pca(rd.from_arrow(t).repartition(7), top_k=4)
+    rows = sorted(out.take_all(), key=lambda r: r["component"])
+
+    m = base.astype(np.float32).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    ratios = evals / evals.sum()
+    for i, r in enumerate(rows):
+        assert abs(r["eigenvalue"] - evals[i]) < 1e-6 * max(1, evals[i])
+        assert abs(r["explained_ratio"] - ratios[i]) < 1e-5
