@@ -718,19 +718,22 @@ def skos_tree_order_distributed(sf_dir: str):
     import ray.data as rd
 
     from . import vocab
-    from .pipelines.skos2notion import tree_rows_pipeline
-    from .stages.hierarchy import build_tree_rows_distributed
+    from .stages.hierarchy import build_tree_rows, build_tree_rows_distributed
+    from .stages.triples import dedup_triples, inverse_consistency
 
     voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=3, n_concepts=120,
                                                seed=42))
+    # closure computed once, shared by both orderers (materialized so
+    # the two consumers don't re-execute it)
+    closed = inverse_consistency(
+        dedup_triples(rd.from_arrow(voc.triples))).materialize()
 
     def seq(ds):
         return [(r["title"], r["parent"], r["scheme"], r["level"], r["uri"])
                 for r in ds.take_all()]
 
-    a = seq(tree_rows_pipeline(rd.from_arrow(voc.triples)))
-    b = seq(tree_rows_pipeline(rd.from_arrow(voc.triples),
-                               orderer=build_tree_rows_distributed))
+    a = seq(build_tree_rows(closed))
+    b = seq(build_tree_rows_distributed(closed))
     return pa.table({
         "n_rows": pa.array([len(b)], pa.int64()),
         "order_matches": pa.array([a == b], pa.bool_()),
