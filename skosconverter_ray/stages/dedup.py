@@ -642,3 +642,102 @@ def neardup_clusters(pairs_ds, *, id_a: str = "doc_a", id_b: str = "doc_b"):
 
     return member_rows.union(
         reps.map_batches(rep_rows, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 string pair join (spelling variants / typo clustering)
+# ---------------------------------------------------------------------------
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance<=1 check without a DP table: O(len)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: subsequence check with one skip
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
+def edit_distance1_pairs(terms_ds, *, col: str = "term",
+                         num_buckets: int = 32):
+    """All unordered pairs of distinct terms at edit distance exactly 1
+    (insert / delete / substitute), by deletion-neighborhood banding:
+    each term of length L emits L+1 band keys — itself plus every
+    single-character deletion. Any distance-1 pair shares a key (the
+    shorter string IS a deletion of the longer; a substitution pair
+    deletes the differing position to the same string), so one
+    key-bucket cogroup sees every candidate, and an O(len) exact check
+    kills the distance-2 collisions ('ab'/'ba' share keys 'a' and 'b').
+    Hot bands come from very short terms — filter length upstream
+    (the query uses >=4). Output pairs are globally deduped with one
+    bucket aggregate (a pair can share several keys)."""
+    import numpy as np
+    import zlib
+
+    from .skew import bucket_aggregate
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        keys, terms = [], []
+        for t in batch[col].to_pylist():
+            if not t:
+                continue
+            keys.append(t)
+            terms.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                terms.append(t)
+        b = np.array([zlib.crc32(k.encode()) % num_buckets for k in keys],
+                     np.int32)
+        return pa.table({"_bucket": pa.array(b, pa.int32()),
+                         "band": pa.array(keys, pa.string()),
+                         "term": pa.array(terms, pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        band = group["band"].to_numpy(zero_copy_only=False)
+        term = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, band))
+        band_s, term_s = band[order], term[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], band_s[1:] != band_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(band_s)]))
+        out = set()
+        for s, e in zip(starts, ends):
+            seg = term_s[s:e]
+            for i in range(len(seg)):
+                for j in range(i + 1, len(seg)):
+                    a, b = seg[i], seg[j]
+                    if a == b:
+                        continue
+                    pair = (a, b) if a < b else (b, a)
+                    if pair not in out and _within_edit1(*pair):
+                        out.add(pair)
+        pairs = sorted(out)
+        return pa.table({
+            "term_a": pa.array([p[0] for p in pairs], pa.string()),
+            "term_b": pa.array([p[1] for p in pairs], pa.string()),
+        })
+
+    cand = (terms_ds.map_batches(emit_keys, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(bucket_pairs,
+                                           batch_format="pyarrow"))
+    deduped = bucket_aggregate(cand, ["term_a", "term_b"],
+                               [("count", None, "_n")],
+                               num_buckets=max(8, num_buckets // 2),
+                               bucket_key="term_a")
+    return deduped.select_columns(["term_a", "term_b"])

@@ -428,3 +428,56 @@ def test_embedding_pca_matches_numpy(ray_session):
     for i, r in enumerate(rows):
         assert abs(r["eigenvalue"] - evals[i]) < 1e-6 * max(1, evals[i])
         assert abs(r["explained_ratio"] - ratios[i]) < 1e-5
+
+
+def test_edit_distance1_pairs_injected_typos(ray_session):
+    """Deletion-neighborhood banding finds EXACTLY the distance-1
+    pairs a brute-force O(n^2) Levenshtein oracle finds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.dedup import (
+        _within_edit1,
+        edit_distance1_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    alphabet = "abcdefgh"
+    base = {"".join(rng.choice(list(alphabet), size=rng.integers(4, 9)))
+            for _ in range(60)}
+    typos = set()
+    for w in list(base)[:25]:
+        i = int(rng.integers(0, len(w)))
+        kind = rng.integers(0, 3)
+        if kind == 0:          # substitution
+            typos.add(w[:i] + rng.choice(list(alphabet)) + w[i + 1:])
+        elif kind == 1:        # deletion
+            typos.add(w[:i] + w[i + 1:])
+        else:                  # insertion
+            typos.add(w[:i] + rng.choice(list(alphabet)) + w[i:])
+    vocab = sorted((base | typos) - {""})
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[lb]
+
+    want = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+            if lev(a, b) == 1}
+    # sanity: the helper agrees with full Levenshtein on dist<=1
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            assert _within_edit1(a, b) == (lev(a, b) <= 1), (a, b)
+    assert want, "fixture produced no distance-1 pairs"
+
+    ds = rd.from_arrow(pa.table({"term": pa.array(vocab, pa.string())}))
+    got = {(r["term_a"], r["term_b"])
+           for r in edit_distance1_pairs(ds, num_buckets=8).take_all()}
+    assert got == want
