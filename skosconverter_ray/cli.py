@@ -137,6 +137,10 @@ def _to_skos_one(in_path: str, out_path: str, args) -> None:
         # Turtle output (ref 1287-1292: graph.bind(prefix, namespace))
         text_out = to_turtle_text(
             triples, extra_prefixes={args.prefix: args.namespace})
+    elif out_path.endswith((".jsonld", ".json")):
+        from .sources.jsonld import to_jsonld_text
+
+        text_out = to_jsonld_text(triples)
     else:
         text_out = to_ntriples_text(triples)
     with open(out_path, "w") as f:

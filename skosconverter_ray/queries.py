@@ -2639,6 +2639,62 @@ def events_sessions(sf_dir: str):
 
 
 @_q(
+    "events_sufficient_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(xc) AS BIGINT) AS sum_x,
+           CAST(sum(hr) AS BIGINT) AS sum_y,
+           CAST(sum(xc * xc) AS BIGINT) AS sum_xx,
+           CAST(sum(hr * hr) AS BIGINT) AS sum_yy,
+           CAST(sum(xc * hr) AS BIGINT) AS sum_xy
+    FROM (SELECT event_type,
+                 CAST(trunc(value * 100) AS BIGINT) AS xc,
+                 CAST(extract(hour FROM ts) AS BIGINT) AS hr
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_sufficient_stats(sf_dir: str):
+    """Per-group sufficient statistics for regression / correlation
+    (n, Σx, Σy, Σx², Σy², Σxy over integer cents × hour-of-day):
+    the distributed-ML prep shape — exact integer moments that any
+    consumer turns into slope/corr/r² without the engine ever shipping
+    floats (integer sums are reduction-order-exact vs the oracle)."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        xc = _to_cents(batch["value"])
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hr = pa.array((ts // hour_us) % 24, pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "x": xc,
+            "y": hr,
+            "xx": pc.multiply(xc, xc),
+            "yy": pc.multiply(hr, hr),
+            "xy": pc.multiply(xc, hr),
+        })
+
+    out = bucket_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        [("count", None, "n"), ("sum", "x", "sum_x"),
+         ("sum", "y", "sum_y"), ("sum", "xx", "sum_xx"),
+         ("sum", "yy", "sum_yy"), ("sum", "xy", "sum_xy")],
+        num_buckets=8)
+    return _collect(out, pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("sum_x", pa.int64()), ("sum_y", pa.int64()),
+        ("sum_xx", pa.int64()), ("sum_yy", pa.int64()),
+        ("sum_xy", pa.int64())]))
+
+
+@_q(
     "events_retention",
     """
     WITH firsts AS (
@@ -3526,6 +3582,7 @@ _GATE_FIRST = [
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
     "events_retention", "embedding_pca", "term_spell_pairs",
+    "events_sufficient_stats",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",

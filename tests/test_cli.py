@@ -137,3 +137,22 @@ def test_gate_prints_first_five_and_n_more(tmp_path, ray_session, capsys):
     assert err.count("missing_label:") == 5
     assert "... and" in err and "more" in err
     assert "validation found" in err
+
+
+def test_to_skos_jsonld_output(nt_file, tmp_path):
+    """to-skos with a .jsonld target writes expanded JSON-LD that the
+    engine's own reader recovers triples from."""
+    import json
+
+    from skosconverter_ray.sources.jsonld import parse_jsonld_doc
+
+    md = str(tmp_path / "v.md")
+    cli.main(["to-markdown", nt_file, "--skip-validation", "-o", md])
+    out = str(tmp_path / "v.jsonld")
+    cli.main(["to-skos", md, "-o", out,
+              "--namespace", "http://example.org/vocab/"])
+    text = open(out).read()
+    doc = json.loads(text)
+    assert "@graph" in doc and doc["@graph"]
+    triples = parse_jsonld_doc(text)
+    assert len(triples) > 10
