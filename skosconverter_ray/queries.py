@@ -1287,6 +1287,52 @@ def inverted_index(sf_dir: str):
 
 
 @_q(
+    "doc_training_mix",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS mn FROM c)
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN c USING (lang), m
+    WHERE (abs(d.doc_id * 2654435761) % 1000003) * c.n < m.mn * 1000003
+    GROUP BY d.lang
+    """,
+)
+def doc_training_mix(sf_dir: str):
+    """Deterministic training-mix rebalancing: downsample every
+    language to (in expectation) the smallest language's count with a
+    per-row hash threshold. The keep test is an integer
+    cross-multiplication (hash * n_lang < min_n * modulus) — no float
+    rates, so engine and oracle agree bit-for-bit and the selection is
+    stable under reruns and corpus appends (same hash-split contract
+    as events_split_counts). Per-lang counts are a tiny broadcast; the
+    filter is one vectorized map pass."""
+    import numpy as np
+
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts_ds = bucket_aggregate(ds.select_columns(["lang"]), ["lang"],
+                                 [("count", None, "n")], num_buckets=4)
+    counts = {r["lang"]: r["n"] for b in counts_ds.iter_batches(
+        batch_format="pyarrow", batch_size=4096) for r in b.to_pylist()}
+    mn = min(counts.values())
+    mod = np.int64(1000003)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        n_lang = np.array([counts[x] for x in langs], np.int64)
+        h = np.abs(did * np.int64(2654435761)) % mod
+        return batch.filter(pa.array(h * n_lang < np.int64(mn) * mod))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow")
+    out = bucket_aggregate(kept.select_columns(["lang"]), ["lang"],
+                           [("count", None, "n_kept")], num_buckets=4)
+    return _collect(out, pa.schema([("lang", pa.string()),
+                                    ("n_kept", pa.int64())]))
+
+
+@_q(
     "term_spell_pairs",
     r"""
     WITH terms AS (
@@ -3582,7 +3628,7 @@ _GATE_FIRST = [
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
     "events_retention", "embedding_pca", "term_spell_pairs",
-    "events_sufficient_stats",
+    "events_sufficient_stats", "doc_training_mix",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",
