@@ -202,3 +202,63 @@ def test_funnel_sessions_ordered_stages(ray_session):
     for r in out.take_all():
         agg[r["stage"]] += r["n_sessions"]
     assert agg == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_sessions_random_parity(ray_session):
+    """Randomized parity vs a brute per-session Python oracle
+    (duplicate timestamps, exact 4h gaps, missing stages)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.window import funnel_sessions
+
+    rng = np.random.default_rng(31)
+    stages = ("view", "click", "purchase")
+    types = np.array(["view", "click", "purchase", "error"])
+    gap_us = 4 * 3600 * 1_000_000
+
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        users = rng.integers(0, 12, size=n)
+        # coarse grid => duplicate ts and exact-gap boundaries occur
+        ts = rng.integers(0, 40, size=n) * (gap_us // 2)
+        et = types[rng.integers(0, len(types), size=n)]
+
+        # brute oracle
+        per_user = collections.defaultdict(list)
+        for u, t, e in zip(users, ts, et):
+            per_user[u].append((t, e))
+        want = collections.Counter()
+        for u, evs in per_user.items():
+            evs.sort()
+            sessions, cur = [], [evs[0]]
+            for prev, nxt in zip(evs, evs[1:]):
+                if nxt[0] - prev[0] > gap_us:
+                    sessions.append(cur)
+                    cur = []
+                cur.append(nxt)
+            sessions.append(cur)
+            for s in sessions:
+                thr = -1
+                for k, st in enumerate(stages):
+                    hits = [t for t, e in s if e == st and t >= thr]
+                    if not hits:
+                        break
+                    thr = min(hits)
+                    want[st] += 1
+
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(et, pa.string()),
+        })
+        out = funnel_sessions(rd.from_arrow(t), stages=stages,
+                              gap_s=4 * 3600.0, num_buckets=4)
+        got = collections.Counter()
+        for r in out.take_all():
+            got[r["stage"]] += r["n_sessions"]
+        got = {k: v for k, v in got.items() if v}
+        assert got == {k: v for k, v in want.items() if v}, f"trial {trial}"
