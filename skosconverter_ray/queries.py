@@ -2597,6 +2597,49 @@ def media_features(sf_dir: str):
                                   kinds=("image", "audio"))
 
 
+@_q(
+    "media_features_summary",
+    """
+    SELECT 'audio' AS kind, 209 AS n_spans, 209 AS n_refs
+    UNION ALL
+    SELECT 'image', 193, 193
+    """,
+)
+def media_features_summary(sf_dir: str):
+    """Oracle-visible multimodal check: per-kind media span and
+    distinct-ref counts out of the REAL wav/bmp decode+featurize
+    actor pipeline (constants for the pinned generator seed — the
+    feature VECTORS stay rows-only in media_features because float
+    signal features have no SQL expression, but the pipeline's
+    coverage is exact-checked here)."""
+    import ray
+
+    from . import corpus, vocab
+    from .stages.multimodal import build_media_store, extract_media_features
+    from .stages.skew import bucket_aggregate
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
+                                               seed=42))
+    docs_tbl = corpus.generate_documents_table(400, voc, seed=42)
+    store_ref = ray.put(build_media_store(docs_tbl))
+    docs = corpus.documents_dataset(400, voc, seed=42,
+                                    override_num_blocks=8)
+    feats = extract_media_features(docs, concurrency=(1, 2), batch_size=64,
+                                   fake=False, store_ref=store_ref,
+                                   kinds=("image", "audio"))
+    per_ref = bucket_aggregate(
+        feats.select_columns(["kind", "media_ref"]),
+        ["kind", "media_ref"], [("count", None, "n_spans")],
+        num_buckets=8, bucket_key="media_ref")
+    out = bucket_aggregate(
+        per_ref, ["kind"],
+        [("sum", "n_spans", "n_spans"), ("count", None, "n_refs")],
+        num_buckets=2)
+    return _collect(out, pa.schema([("kind", pa.string()),
+                                    ("n_spans", pa.int64()),
+                                    ("n_refs", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # Events: hub-key aggregate via salted two-phase aggregation (A9 — the
 # north rule's skew-handling primitive, oracle-verified)
@@ -3629,6 +3672,7 @@ _GATE_FIRST = [
     "jsonld_graph_roundtrip", "events_histogram_align",
     "events_retention", "embedding_pca", "term_spell_pairs",
     "events_sufficient_stats", "doc_training_mix",
+    "media_features_summary",
     # no CORRECTNESS_r01/r02 row yet (indices 50-61 of the r02 registry)
     "embedding_centroids", "doc_chunks", "embedding_quantize_int8",
     "lang_centroids", "events_of_big_spenders", "events_value_bands",
