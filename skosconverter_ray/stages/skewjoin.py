@@ -44,15 +44,38 @@ def skew_aware_join(left_ds, right_ds, *, left_on: str, right_on: str,
     # pin the left side ONCE: three consumers below (sketch, hot,
     # cold) read the same blocks instead of re-executing lineage
     left_ds = left_ds.materialize()
+    n_left = left_ds.count()
 
-    # 1. measure: MG heavy hitters over the left key column
-    est = frequent_items(left_ds.select_columns([left_on]), left_on,
-                         capacity=hot_capacity,
-                         num_buckets=max(4, num_buckets // 4))
+    # 1. measure the left key distribution. Small materialized left
+    # (≤4M rows): exact per-batch value_counts folded on the driver —
+    # zero exchanges, strictly better estimates than the sketch. Big
+    # left: the mergeable MG sketch (one map + tiny merge exchange).
     hot_vals = []
-    for b in est.iter_batches(batch_format="pyarrow", batch_size=4096):
-        keep = pc.greater_equal(b["est"], hot_min_est)
-        hot_vals.extend(b.filter(keep)["item"].to_pylist())
+    if n_left <= 4_000_000:
+        parts = []
+        for b in left_ds.select_columns([left_on]).iter_batches(
+                batch_format="pyarrow", batch_size=262_144):
+            vc = pc.value_counts(b[left_on].combine_chunks())
+            parts.append(pa.table({"item": vc.field("values"),
+                                   "c": vc.field("counts")}))
+        if parts:
+            tot = pa.concat_tables(parts).group_by("item") \
+                .aggregate([("c", "sum")])
+            hot_vals = tot.filter(
+                pc.greater_equal(tot["c_sum"], hot_min_est)
+            )["item"].to_pylist()
+    else:
+        est = frequent_items(left_ds.select_columns([left_on]), left_on,
+                             capacity=hot_capacity,
+                             num_buckets=max(4, num_buckets // 4))
+        for b in est.iter_batches(batch_format="pyarrow",
+                                  batch_size=4096):
+            keep = pc.greater_equal(b["est"], hot_min_est)
+            hot_vals.extend(b.filter(keep)["item"].to_pylist())
+
+    # size the cold-pass exchange to the data actually flowing: tiny
+    # inputs drown in per-bucket dispatch at the default width
+    num_buckets = max(4, min(num_buckets, n_left // 2000 + 1))
 
     key_type = left_schema.field(left_on).type
     hot_arr = pa.array(hot_vals, key_type)
