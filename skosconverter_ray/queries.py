@@ -2186,6 +2186,64 @@ def doc_dedup_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_decontaminate",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   || ' ' || w[i+3] || ' ' || w[i+4]
+                                   FOR i IN generate_series(1, len(w)-4)]))
+               AS gram
+      FROM words WHERE len(w) >= 5
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT c.doc_id, CAST(count(bg.gram) AS BIGINT) AS n_hits,
+           count(*) AS n_grams
+    FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) c
+    LEFT JOIN bg ON c.gram = bg.gram
+    GROUP BY c.doc_id
+    """,
+)
+def doc_decontaminate(sf_dir: str):
+    """Training-data decontamination: every 20th document stands in
+    for a benchmark/eval set; each remaining document is scored by how
+    many of its distinct word 5-grams appear anywhere in that set
+    (stages/decontam.py — benchmark grams broadcast once, corpus pass
+    is a zero-shuffle vectorized searchsorted; above the broadcast
+    limit the same semantics run as a gram-row outer join + bucket
+    aggregate). Output keeps zero-hit docs so the caller applies the
+    contamination threshold."""
+    from .stages.decontam import decontaminate
+
+    def keep(rem_nonzero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            rem = pc.cast(
+                pc.subtract(b["doc_id"],
+                            pc.multiply(pc.divide(b["doc_id"], 20),
+                                        20)), pa.int64())
+            m = pc.not_equal(rem, 0) if rem_nonzero else pc.equal(rem, 0)
+            return b.filter(m)
+        return f
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(keep(False), batch_format="pyarrow")
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(keep(True), batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=5)
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("n_hits", pa.int64()),
+                                    ("n_grams", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: fingerprinting (min-shingle-hash; md5 so DuckDB can verify)
 # ---------------------------------------------------------------------------
 
