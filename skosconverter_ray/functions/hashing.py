@@ -98,3 +98,17 @@ def content_hash64(texts) -> np.ndarray:
     both key on THIS function — one definition, so the two can never
     silently disagree on identity."""
     return (hash_strings(texts, seed=7) >> np.uint64(1)).astype(np.int64)
+
+
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length (== DuckDB ``length(bin(x))`` for
+    x >= 1; 0 -> 0). Binary-shift descent instead of
+    ``floor(log2(x))``, whose double rounding can misreport just below
+    large powers of two."""
+    x = x.astype(np.uint64, copy=True)
+    r = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    return r + (x > 0)

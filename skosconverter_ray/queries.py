@@ -1210,6 +1210,92 @@ def _doc_salient_terms(sf_dir: str, k: int):
 
 
 @_q(
+    "doc_unigram_surprisal",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(length(bin((SELECT n FROM tot) // c))) AS BIGINT)
+             AS surprisal_bits
+    FROM tok JOIN cnt USING (t)
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_surprisal(sf_dir: str):
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter,
+    with the corpus itself as the LM): train a unigram model over the
+    whole corpus, then score every document by its total surprisal.
+    Per-token surprisal is the INTEGER bit length of
+    total_tokens // count(token) — floor(log2)+1 in exact shift
+    arithmetic (functions/hashing.bit_length_u64), so Ray and DuckDB
+    agree bit-for-bit with no float summation-order flap. Shape: one
+    materialized tf table (two consumers), one vocab-bucket aggregate
+    for counts, a map-side partial-sum driver fold for the scalar
+    total (no exchange), one term-bucket cogroup join, one per-doc
+    bucket aggregate. Rank by surprisal_bits/n_tokens downstream."""
+    import polars as pl
+
+    from .functions.hashing import bit_length_u64
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("term"))
+            .drop("text").explode("term")
+            .filter(pl.col("term").is_not_null())
+            .group_by(["doc_id", "term"]).len(name="tf"))
+        return out.to_arrow().cast(tf_schema)
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialized: consumed by the count aggregate AND the join left
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    cnt_ds = bucket_aggregate(tf_ds.select_columns(["term", "tf"]),
+                              ["term"], [("sum", "tf", "c")],
+                              num_buckets=nb)
+    # scalar token total: map-side partial sums over the PINNED tf
+    # blocks, folded on the driver — no extra exchange
+    total = 0
+    for b in tf_ds.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b["s"]).as_py() or 0)
+
+    joined = cogroup_join(tf_ds, cnt_ds, left_on="term", right_on="term",
+                          join_type="inner", num_buckets=nb,
+                          left_schema=tf_schema,
+                          right_schema=pa.schema([("term", pa.string()),
+                                                  ("c", pa.int64())]))
+
+    def score(batch: pa.Table, _total=total) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        bits = bit_length_u64(np.uint64(_total) // c)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": tf,
+                         "w_bits": tf * bits})
+
+    out = bucket_aggregate(
+        joined.map_batches(score, batch_format="pyarrow"), ["doc_id"],
+        [("sum", "n_tokens", "n_tokens"),
+         ("sum", "w_bits", "surprisal_bits")], num_buckets=nb)
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("n_tokens", pa.int64()),
+                                    ("surprisal_bits", pa.int64())]))
+
+
+@_q(
     "inverted_index",
     r"""
     WITH tf AS (
