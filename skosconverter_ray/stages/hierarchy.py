@@ -470,13 +470,22 @@ def build_tree_rows_distributed(triples_ds, cfg: EngineConfig | None = None):
             num_buckets=nb, bucket_key="uri",
         ).repartition(nb).materialize()
 
+        # fold the improved-row count on the driver from the PINNED
+        # merged blocks (origin column only) — cheaper than a separate
+        # frontier materialize + count execution per round
+        n_improved = 0
+        for b in merged.select_columns(["origin"]).iter_batches(
+                batch_format="pyarrow"):
+            n_improved += int(pc.sum(
+                pc.cast(pc.equal(b["origin"], pa.scalar(1, pa.int8())),
+                        pa.int64())).as_py() or 0)
         frontier = merged.map_batches(
             lambda b: b.filter(pc.equal(b["origin"], pa.scalar(1, pa.int8())))
                        .drop_columns(["origin"]),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
         best = merged.map_batches(
             lambda b: b.drop_columns(["origin"]), batch_format="pyarrow")
-        if frontier.count() == 0:
+        if n_improved == 0:
             break
 
     # --- unassigned: concepts never placed ---
