@@ -1296,6 +1296,85 @@ def doc_unigram_surprisal(sf_dir: str):
 
 
 @_q(
+    "doc_pack_sequences",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM n WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off // 512 AS BIGINT) AS first_seq,
+           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+    FROM o
+    """,
+)
+def doc_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing plan: conceptually concatenate every
+    document's tokens in doc_id order and cut fixed 512-token training
+    sequences; emit each document's packed placement (first/last
+    sequence index). The global token offset is a distributed
+    exclusive prefix scan (stages/scan.keyed_prefix_sum — range-
+    partitioned bucket sums folded on the driver, one coarse cogroup
+    adds base offsets to local cumsums; every row moves once)."""
+    import polars as pl
+
+    from .stages.scan import keyed_prefix_sum
+
+    cap = 512
+    cnt_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64())])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.count_matches(r"[a-z0-9]+").cast(pl.Int64)
+              .alias("n_tokens"))
+            .drop("text").filter(pl.col("n_tokens") > 0))
+        return out.to_arrow().cast(cnt_schema)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(counts, batch_format="pyarrow").materialize()
+    lo, hi = None, None
+    for b in ds.map_batches(
+            lambda b: pa.table({"lo": [pc.min(b["doc_id"]).as_py()],
+                                "hi": [pc.max(b["doc_id"]).as_py()]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        bl, bh = pc.min(b["lo"]).as_py(), pc.max(b["hi"]).as_py()
+        lo = bl if lo is None else min(lo, bl)
+        hi = bh if hi is None else max(hi, bh)
+    if lo is None:
+        return _collect(ds, pa.schema([("doc_id", pa.int64()),
+                                       ("n_tokens", pa.int64()),
+                                       ("first_seq", pa.int64()),
+                                       ("last_seq", pa.int64())]))
+
+    scanned = keyed_prefix_sum(
+        ds, key="doc_id", value="n_tokens", key_range=(lo, hi),
+        num_buckets=_adaptive_buckets(sf_dir, "documents"))
+
+    def place(batch: pa.Table) -> pa.Table:
+        off = batch["off"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n,
+                         "first_seq": off // cap,
+                         "last_seq": (off + n - 1) // cap})
+
+    return _collect(scanned.map_batches(place, batch_format="pyarrow"),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64()),
+                               ("first_seq", pa.int64()),
+                               ("last_seq", pa.int64())]))
+
+
+@_q(
     "inverted_index",
     r"""
     WITH tf AS (
