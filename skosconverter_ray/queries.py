@@ -1296,6 +1296,89 @@ def doc_unigram_surprisal(sf_dir: str):
 
 
 @_q(
+    "doc_repetition_signals",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w
+      FROM words WHERE len(w) >= 2
+    ),
+    g AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                             FOR i IN generate_series(1, len(w)-1)]) AS g2
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY doc_id, g2),
+    top AS (
+      SELECT doc_id, g2 AS top_2gram, c AS top_2gram_count
+      FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g2) = 1
+    )
+    SELECT b.doc_id, b.n_words, b.n_distinct_words, t.top_2gram,
+           t.top_2gram_count,
+           t.top_2gram_count * CAST(length(t.top_2gram) AS BIGINT)
+             AS top_2gram_chars
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def doc_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality rules: per document, the
+    duplicate-word signal (n_words vs n_distinct_words) and the most
+    frequent word 2-gram with its count and character mass (ties break
+    lexicographically). All integers/strings so parity is exact, and —
+    because a document never splits across rows — the whole operator
+    is ONE map_batches with a vectorized polars kernel: zero shuffles
+    at any corpus size."""
+    import polars as pl
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_distinct_words", pa.int64()), ("top_2gram", pa.string()),
+        ("top_2gram_count", pa.int64()), ("top_2gram_chars", pa.int64()),
+    ])
+
+    def rep_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.extract_all(r"\S+").alias("toks"))
+        base = df.filter(pl.col("toks").list.len() >= 2).select(
+            "doc_id",
+            pl.col("toks").list.len().cast(pl.Int64).alias("n_words"),
+            pl.col("toks").list.unique().list.len().cast(pl.Int64)
+              .alias("n_distinct_words"),
+            "toks")
+        if base.height == 0:
+            return out_schema.empty_table()
+        ex = base.select("doc_id", "toks").explode("toks")
+        g2 = (ex.with_columns(
+                pl.col("toks").shift(-1).over("doc_id").alias("nxt"))
+              .drop_nulls("nxt")
+              .select("doc_id", (pl.col("toks") + " " + pl.col("nxt"))
+                      .alias("g2"))
+              .group_by(["doc_id", "g2"]).len(name="c")
+              .sort(["doc_id", "c", "g2"],
+                    descending=[False, True, False])
+              .group_by("doc_id", maintain_order=True).first())
+        out = base.drop("toks").join(g2, on="doc_id", how="inner") \
+            .select("doc_id", "n_words", "n_distinct_words",
+                    pl.col("g2").alias("top_2gram"),
+                    pl.col("c").cast(pl.Int64).alias("top_2gram_count"),
+                    (pl.col("c").cast(pl.Int64)
+                     * pl.col("g2").str.len_chars().cast(pl.Int64))
+                    .alias("top_2gram_chars"))
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(rep_batch, batch_format="pyarrow")
+    return _collect(ds, out_schema)
+
+
+@_q(
     "doc_pack_sequences",
     r"""
     WITH n AS (
