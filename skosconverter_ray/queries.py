@@ -3973,6 +3973,8 @@ def supplier_nation_join(sf_dir: str):
 
 _GATE_FIRST = [
     # new in round 3 — no driver row yet
+    "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
+    "doc_repetition_signals",
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
