@@ -47,6 +47,10 @@ HEADLINE = [
     # round 3 additions
     "doc_tfidf_top_terms",
     "events_funnel",
+    "doc_decontaminate",
+    "doc_unigram_surprisal",
+    "doc_pack_sequences",
+    "doc_repetition_signals",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
