@@ -1299,6 +1299,69 @@ def doc_unigram_surprisal(sf_dir: str):
 
 
 @_q(
+    "graph_checkpoint_resume",
+    r"""
+    SELECT CAST(8 AS BIGINT) AS n_parts,
+           (SELECT count(*) FROM documents) AS rows_full,
+           (SELECT count(*) FROM documents) AS rows_resumed,
+           true AS identical
+    """,
+)
+def graph_checkpoint_resume(sf_dir: str):
+    """North-rule resumability, surfaced as an oracle row: materialize
+    the documents table through the adjacency-partitioned checkpoint
+    sink (state/manifest.write_partitioned), then replay an interrupted
+    run — partitions 0-1 land, the job dies, a rerun consults the
+    manifest and produces ONLY the missing partitions — and verify the
+    resumed output is row-identical to the uninterrupted one. identical
+    is the pa.Table equality of both sorted outputs; rows_* are the
+    on-disk parquet row counts."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .state.manifest import write_partitioned
+
+    cols = ["doc_id", "lang", "source"]
+    ds = _read(sf_dir, "documents", cols)
+    tmp = tempfile.mkdtemp(prefix="ckpt_resume_", dir="/tmp")
+    try:
+        full = os.path.join(tmp, "full")
+        resumed = os.path.join(tmp, "resumed")
+        write_partitioned(ds, full, key_col="doc_id", n_parts=8,
+                          stage="docs", lineage=sf_dir)
+        t = pq.read_table(full)
+        # interrupted run: only partitions 0 and 1 were written before
+        # the job died; the manifest remembers them
+        first = rd.from_arrow(
+            t.filter(pc.is_in(t["part"],
+                              value_set=pa.array(["0", "1"])))
+             .drop_columns(["part"]))
+        write_partitioned(first, resumed, key_col="doc_id", n_parts=8,
+                          stage="docs", lineage=sf_dir)
+        # the rerun skips done partitions and completes the rest
+        write_partitioned(ds, resumed, key_col="doc_id", n_parts=8,
+                          stage="docs", lineage=sf_dir)
+        a = pq.read_table(full).sort_by([("doc_id", "ascending")])
+        b = pq.read_table(resumed).sort_by([("doc_id", "ascending")])
+        ident = a.select(cols).equals(b.select(cols))
+        return pa.table({
+            "n_parts": pa.array(
+                [len(_glob.glob(os.path.join(full, "part=*")))],
+                pa.int64()),
+            "rows_full": pa.array([a.num_rows], pa.int64()),
+            "rows_resumed": pa.array([b.num_rows], pa.int64()),
+            "identical": pa.array([ident], pa.bool_()),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_q(
     "doc_repetition_signals",
     r"""
     WITH words AS (
@@ -3977,7 +4040,7 @@ def supplier_nation_join(sf_dir: str):
 _GATE_FIRST = [
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
-    "doc_repetition_signals",
+    "doc_repetition_signals", "graph_checkpoint_resume",
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
