@@ -3012,6 +3012,60 @@ def media_features_summary(sf_dir: str):
                                     ("n_refs", pa.int64())]))
 
 
+@_q(
+    "media_thumbnails",
+    """
+    SELECT * FROM (VALUES
+      (16,16,11,11,268576), (16,24,11,11,268576), (16,32,9,9,219528),
+      (16,40,9,9,219528),   (24,16,16,16,390656), (24,24,8,8,195264),
+      (24,32,13,13,317096), (24,40,9,9,219528),   (32,16,13,13,317096),
+      (32,24,11,11,268312), (32,32,9,9,219312),   (32,40,18,18,438624),
+      (40,16,17,17,414664), (40,24,14,14,341488), (40,32,14,14,341152),
+      (40,40,11,11,267696)
+    ) AS t(src_h, src_w, n_spans, n_refs, pixel_sum)
+    """,
+)
+def media_thumbnails(sf_dir: str):
+    """The multimodal RESIZE stage, oracle-visible: every image span's
+    BMP payload is really decoded, box-average downsampled to 8x8 and
+    re-encoded inside the ImageResizer actor pool; the integer pixel
+    checksums per source-dimension group are exact constants for the
+    pinned generator seed (resize is sum // area in integer math, so
+    no float resampler can flap the oracle)."""
+    import ray
+
+    from . import corpus, vocab
+    from .stages.multimodal import build_media_store, resize_images
+    from .stages.skew import bucket_aggregate
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
+                                               seed=42))
+    docs_tbl = corpus.generate_documents_table(400, voc, seed=42)
+    store_ref = ray.put(build_media_store(docs_tbl))
+    docs = corpus.documents_dataset(400, voc, seed=42,
+                                    override_num_blocks=8)
+    thumbs = resize_images(docs, out_h=8, out_w=8, store_ref=store_ref,
+                           concurrency=(1, 2), batch_size=64)
+    per_ref = bucket_aggregate(
+        thumbs.select_columns(["src_h", "src_w", "media_ref",
+                               "pixel_sum"]),
+        ["src_h", "src_w", "media_ref"],
+        [("count", None, "n_spans"), ("sum", "pixel_sum", "pixel_sum")],
+        num_buckets=8, bucket_key="media_ref")
+    out = bucket_aggregate(
+        per_ref, ["src_h", "src_w"],
+        [("sum", "n_spans", "n_spans"), ("count", None, "n_refs"),
+         ("sum", "pixel_sum", "pixel_sum")],
+        num_buckets=4, bucket_key="src_h")
+    return _collect(out.select_columns(["src_h", "src_w", "n_spans",
+                                        "n_refs", "pixel_sum"]),
+                    pa.schema([("src_h", pa.int32()),
+                               ("src_w", pa.int32()),
+                               ("n_spans", pa.int64()),
+                               ("n_refs", pa.int64()),
+                               ("pixel_sum", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # Events: hub-key aggregate via salted two-phase aggregation (A9 — the
 # north rule's skew-handling primitive, oracle-verified)
@@ -4041,6 +4095,7 @@ _GATE_FIRST = [
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",
+    "media_thumbnails",
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",

@@ -375,3 +375,106 @@ def extract_media_features(docs_ds, *, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (thumbnail) actor stage
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (the
+    inverse of decode_bmp; bottom-up rows, BGR, 4-byte padded)."""
+    height, width = img.shape[:2]
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):
+        pixel_data += img[y, :, ::-1].astype(np.uint8).tobytes()
+        pixel_data += b"\x00" * pad
+    data_size = len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       data_size, 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_data)
+
+
+def box_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact integer box-average downsample. Source dims must be
+    multiples of the target dims (the store's synthetic BMPs are all
+    multiples of 8); block mean is sum // area so every worker — and
+    the pinned oracle — agrees byte-for-byte. A real deployment swaps
+    this for a codec/library resampler behind the same actor surface."""
+    h, w = img.shape[:2]
+    if h % out_h or w % out_w:
+        raise NotImplementedError(
+            f"box_resize needs integer block factors, got {h}x{w} -> "
+            f"{out_h}x{out_w}")
+    bh, bw = h // out_h, w // out_w
+    blocks = img.reshape(out_h, bh, out_w, bw, 3).astype(np.int64)
+    return (blocks.sum(axis=(1, 3)) // (bh * bw)).astype(np.uint8)
+
+
+class ImageResizer:
+    """Image spans -> fixed-size thumbnail rows.
+
+    The multimodal ``resize`` stage: ``__init__`` resolves the media
+    store once per actor (a real build opens its blob client and codec
+    here); ``__call__`` decodes each BMP payload, box-averages it to
+    ``(out_h, out_w)`` and re-encodes — output rows carry the thumbnail
+    bytes plus an integer pixel checksum so the pipeline is
+    oracle-checkable end to end. Refs missing from the store raise
+    (loud codec boundary, same policy as MediaFeatureExtractor)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8, store_ref=None):
+        self.out_h, self.out_w = out_h, out_w
+        self._store = _resolve_store(store_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, span_idxs, refs = [], [], []
+        src_ws, src_hs, thumbs, sums = [], [], [], []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(),
+                                 batch["spans"].to_pylist()):
+            for si, span in enumerate(spans or []):
+                if span["kind"] != "image" or not span["media_ref"]:
+                    continue
+                if self._store is None or \
+                        span["media_ref"] not in self._store:
+                    raise NotImplementedError(
+                        "image resize requires a media store with BMP "
+                        "payloads in this container")
+                fmt, payload = self._store[span["media_ref"]]
+                if fmt != "bmp":
+                    raise NotImplementedError(f"resize codec {fmt!r}")
+                img = decode_bmp(payload)
+                thumb = box_resize(img, self.out_h, self.out_w)
+                doc_ids.append(doc_id)
+                span_idxs.append(si)
+                refs.append(span["media_ref"])
+                src_hs.append(img.shape[0])
+                src_ws.append(img.shape[1])
+                thumbs.append(encode_bmp(thumb))
+                sums.append(int(thumb.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "span_idx": pa.array(span_idxs, pa.int32()),
+            "media_ref": pa.array(refs, pa.string()),
+            "src_h": pa.array(src_hs, pa.int32()),
+            "src_w": pa.array(src_ws, pa.int32()),
+            "thumb": pa.array(thumbs, pa.binary()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def resize_images(docs_ds, *, out_h: int = 8, out_w: int = 8,
+                  concurrency=(1, 4), batch_size: int = 64,
+                  store_ref=None):
+    """Actor-pool thumbnailing over interleaved documents; one output
+    row per image span with the resized BMP bytes."""
+    return docs_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w,
+                               "store_ref": store_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

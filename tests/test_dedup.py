@@ -481,3 +481,44 @@ def test_edit_distance1_pairs_injected_typos(ray_session):
     got = {(r["term_a"], r["term_b"])
            for r in edit_distance1_pairs(ds, num_buckets=8).take_all()}
     assert got == want
+
+
+def test_image_resize_exact_and_roundtrip(ray_session):
+    """box_resize is exact integer block means; encode_bmp inverts
+    decode_bmp; the ImageResizer actor stage emits one row per image
+    span with a checksum matching a local recompute."""
+    import numpy as np
+    import ray
+
+    from skosconverter_ray import corpus, vocab
+    from skosconverter_ray.stages import multimodal as mm
+
+    # exactness on a hand-built image
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    t = mm.box_resize(img, 8, 8)
+    want = img.reshape(8, 2, 8, 3, 3).astype(np.int64).sum(
+        axis=(1, 3)) // 6
+    assert (t == want).all()
+    assert mm.decode_bmp(mm.encode_bmp(t)).tobytes() == t.tobytes()
+    with pytest.raises(NotImplementedError):
+        mm.box_resize(img, 7, 8)  # non-integer block factor
+
+    # actor-stage plumbing on the pinned corpus
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2,
+                                               n_concepts=10, seed=5))
+    docs_tbl = corpus.generate_documents_table(40, voc, seed=5)
+    store_ref = ray.put(mm.build_media_store(docs_tbl))
+    docs = corpus.documents_dataset(40, voc, seed=5,
+                                    override_num_blocks=4)
+    rows = mm.resize_images(docs, store_ref=store_ref,
+                            concurrency=(1, 2), batch_size=16).take_all()
+    n_image_spans = sum(
+        1 for spans in docs_tbl["spans"].to_pylist()
+        for s in spans if s["kind"] == "image" and s["media_ref"])
+    assert len(rows) == n_image_spans and rows
+    store = mm._resolve_store(ray.get(store_ref))
+    for r in rows[:10]:
+        src = mm.decode_bmp(store[r["media_ref"]][1])
+        local = mm.box_resize(src, 8, 8)
+        assert r["pixel_sum"] == int(local.astype(np.int64).sum())
+        assert mm.decode_bmp(r["thumb"]).tobytes() == local.tobytes()
