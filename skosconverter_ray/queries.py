@@ -2117,22 +2117,53 @@ def events_value_quartile(sf_dir: str):
 # error bound is pytest-pinned against exact order statistics)
 # ---------------------------------------------------------------------------
 
-@_q("events_value_quantiles_sketch")
+@_q(
+    "events_value_quantiles_sketch",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99,
+           true AS sketch_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
 def events_value_quantiles_sketch(sf_dir: str):
-    """Same output shape as events_value_quantiles via the log-binned
-    mergeable histogram (stages/sketch.dd_quantiles): the shuffle
-    moves (key, bin, count) histogram rows — never values — so per-key
-    state is ~log(range)/rel_err regardless of row count."""
+    """Per-key quantiles via the log-binned mergeable histogram
+    (stages/sketch.dd_quantiles): the shuffle moves (key, bin, count)
+    histogram rows — never values — so per-key state is
+    ~log(range)/rel_err regardless of row count. The sketch's accuracy
+    contract is oracle-visible: the query also computes the EXACT
+    quantiles (what the sketch avoids sorting at scale) and returns
+    whether every sketch estimate landed within the 2% relative bound
+    implied by rel_err=0.01; DuckDB checks the exact values plus the
+    always-true accuracy bit."""
+    from .stages.quantile import per_key_quantiles
     from .stages.sketch import dd_quantiles
 
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = dd_quantiles(ds, "event_type", "value",
-                       {"p50": 0.5, "p95": 0.95, "p99": 0.99},
-                       rel_err=0.01)
-    return _collect(out, pa.schema([("event_type", pa.string()),
-                                    ("p50", pa.float64()),
-                                    ("p95", pa.float64()),
-                                    ("p99", pa.float64())]))
+    names = ("p50", "p95", "p99")
+    est = {r["event_type"]: r
+           for r in dd_quantiles(
+               _read(sf_dir, "events", ["event_type", "value"]),
+               "event_type", "value",
+               {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+               rel_err=0.01).take_all()}
+    exact = per_key_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99}).take_all()
+    tbl = pa.Table.from_pylist(
+        exact, schema=pa.schema([("event_type", pa.string()),
+                                 ("p50", pa.float64()),
+                                 ("p95", pa.float64()),
+                                 ("p99", pa.float64())]))
+    ok = []
+    for r in exact:
+        e = est.get(r["event_type"])
+        ok.append(e is not None and all(
+            abs(e[n] - r[n]) <= 0.02 * abs(r[n]) + 1e-12 for n in names))
+    return tbl.append_column("sketch_within_2pct",
+                             pa.array(ok, pa.bool_()))
 
 
 # ---------------------------------------------------------------------------
@@ -2332,20 +2363,47 @@ def curation_pipeline(sf_dir: str):
 # pytest-asserted against exact counts at 5% tolerance)
 # ---------------------------------------------------------------------------
 
-@_q("events_distinct_users_hll")
+@_q(
+    "events_distinct_users_hll",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           true AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def events_distinct_users_hll(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via a
     mergeable HyperLogLog sketch (p=12, ~1.6% rel. error): the shuffle
     moves one 4 KiB register blob per (key, batch), never the distinct
-    user set — the 100 TB shape for cardinality stats. No SQL oracle
-    by design (approximate); stages/sketch.py is pytest-pinned to
-    within 5% of exact on synthetic and sandbox data."""
+    user set — the 100 TB shape for cardinality stats. The sketch's
+    accuracy contract is oracle-visible: the query ALSO computes the
+    exact distinct count distributedly (per-(type,user) bucket dedup —
+    what the HLL path avoids shipping at scale) and returns whether the
+    estimate landed within 5%; DuckDB checks the exact counts and the
+    always-true accuracy bit."""
     from .stages.sketch import distinct_count_hll
+    from .stages.skew import bucket_aggregate
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    out = distinct_count_hll(ds, "event_type", "user_id")
-    return _collect(out, pa.schema([("event_type", pa.string()),
-                                    ("n_distinct_est", pa.int64())]))
+    est = {r["event_type"]: r["n_distinct_est"]
+           for r in distinct_count_hll(ds, "event_type", "user_id")
+           .take_all()}
+    pairs = bucket_aggregate(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type", "user_id"], [("count", None, "_n")],
+        num_buckets=16, bucket_key="user_id")
+    exact_ds = bucket_aggregate(pairs, ["event_type"],
+                                [("count", None, "n_distinct")],
+                                num_buckets=4)
+    tbl = pa.Table.from_pylist(
+        exact_ds.take_all(),
+        schema=pa.schema([("event_type", pa.string()),
+                          ("n_distinct", pa.int64())]))
+    ok = [abs(est.get(t, 0) - n) <= 0.05 * n
+          for t, n in zip(tbl["event_type"].to_pylist(),
+                          tbl["n_distinct"].to_pylist())]
+    return tbl.append_column("hll_within_5pct", pa.array(ok, pa.bool_()))
 
 
 # ---------------------------------------------------------------------------
