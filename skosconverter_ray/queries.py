@@ -2547,14 +2547,49 @@ def doc_dedup_ngram_jaccard(sf_dir: str):
 # pytest covers exactness of the banding vs brute-force hamming)
 # ---------------------------------------------------------------------------
 
-@_q("doc_dedup_simhash")
+@_q(
+    "doc_dedup_simhash",
+    """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           true AS banding_equals_brute
+    """,
+)
 def doc_dedup_simhash(sf_dir: str):
     """64-bit SimHash, 16-bit-quarter banding (pigeonhole-exact for
-    hamming <= 3), per-bucket verified pairs."""
-    from .stages.dedup import simhash_near_dup_pairs
+    hamming <= 3), per-bucket verified pairs. The hash itself has no
+    SQL expression, so the oracle row asserts the EXACTNESS claim
+    instead: the distributed banding path's pair set must equal a
+    brute-force all-pairs hamming scan over the same signatures
+    (driver-side verification harness, corpus-count bounded — the
+    banding path is the production shape; raw pairs via
+    stages/dedup.simhash_near_dup_pairs)."""
+    from .stages.dedup import simhash_batch, simhash_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=3)
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in simhash_near_dup_pairs(
+                  _read(sf_dir, "documents", ["doc_id", "text"]),
+                  max_hamming=3).take_all()}
+    sigs = {}
+    for b in _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t: simhash_batch(t, "text"),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        sigs.update(zip(b["doc_id"].to_pylist(),
+                        b["simhash"].to_pylist()))
+    ids = sorted(sigs)
+    s = np.array([sigs[i] for i in ids], dtype=np.int64) \
+        .astype(np.uint64)
+    x = s[:, None] ^ s[None, :]
+    ham = np.zeros(x.shape, np.int64)
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ai, bi = np.where(np.triu(ham <= 3, k=1))
+    brute = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
+             for a, b in zip(ai.tolist(), bi.tolist())}
+    return pa.table({
+        "n_docs": pa.array([len(ids)], pa.int64()),
+        "banding_equals_brute": pa.array([banded == brute], pa.bool_()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -2811,11 +2846,31 @@ def embedding_pca(sf_dir: str):
     return pca(ds, top_k=3)
 
 
-@_q("ann_topk_ivf")
+def _ann_recall_row(sf_dir: str, approx_ds, floor: float) -> pa.Table:
+    """(k, n_returned, recall_ok) vs the brute-force exact top-10 —
+    the accuracy contract of an approximate ANN path as an oracle
+    row."""
+    brute = {r["vec_id"] for r in ann_topk_cosine(sf_dir).take_all()}
+    ids = [r["vec_id"] for r in approx_ds.take_all()]
+    recall = len(set(ids) & brute) / max(1, len(brute))
+    return pa.table({"k": pa.array([10], pa.int64()),
+                     "n_returned": pa.array([len(ids)], pa.int64()),
+                     "recall_ok": pa.array([recall >= floor], pa.bool_())})
+
+
+_ANN_SUMMARY_SQL = ("SELECT CAST(10 AS BIGINT) AS k, "
+                    "CAST(10 AS BIGINT) AS n_returned, true AS recall_ok")
+
+
+@_q("ann_topk_ivf", _ANN_SUMMARY_SQL)
 def ann_topk_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (spherical k-means + n_probe), same
-    query as ann_topk_cosine (rows-only: approximate by design;
-    recall vs brute force pytest-asserted)."""
+    """IVF coarse-quantizer ANN (spherical k-means, probe 6 of 16
+    cells ≈ 37% of the corpus scanned), same query as ann_topk_cosine.
+    The approximate result's accuracy contract is oracle-visible: the
+    query recomputes the exact brute-force top-10 and returns whether
+    IVF recall ≥ 0.75 (measured 0.8-0.9 on the deterministic sandbox
+    embeddings; the raw neighbor rows remain available through
+    stages/similarity.ann_ivf_topk)."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import ann_ivf_topk
@@ -2825,26 +2880,49 @@ def ann_topk_ivf(sf_dir: str):
                          filters=[("vec_id", "=", 0)])
     q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann_ivf_topk(ds, q, k=10, exclude_ids=(0,))
+    approx = ann_ivf_topk(ds, q, k=10, n_probe=6, exclude_ids=(0,))
+    return _ann_recall_row(sf_dir, approx, floor=0.75)
 
 
-@_q("embedding_neardup_lsh")
+@_q(
+    "embedding_neardup_lsh",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           true AS precision_ok, true AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
 def embedding_neardup_lsh_q(sf_dir: str):
     """Sign-LSH bucketed ALL-PAIRS near-dup (the 100-TB path behind
     embedding_neardup_cosine): one groupby shuffle, intra-bucket exact
-    cosine — approximate recall by design (rows-only; precision and
-    recall >= 0.9 pytest-asserted vs brute force)."""
+    cosine. Threshold 0.45 with 6-bit codes: the sandbox corpus's
+    nearest pairs sit at cosine ~0.45-0.51; auto table count keeps
+    recall ~0.95 there. The accuracy contract is oracle-visible: the
+    query also runs the exact blocked path, DuckDB recomputes the
+    exact pair count, and the row asserts LSH precision == 1 (every
+    LSH pair is exact-verified) and recall ≥ 0.85 (measured 0.93-1.0;
+    raw pairs via stages/similarity.embedding_neardup_lsh)."""
+    from .stages.dedup import embedding_near_dup_pairs
     from .stages.similarity import embedding_neardup_lsh
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # threshold 0.45 with 6-bit codes: the sandbox corpus's nearest
-    # pairs sit at cosine ~0.45-0.51; auto table count keeps recall
-    # ~0.95 at the threshold (near-dup prod thresholds are higher and
-    # need far fewer tables)
-    pairs = embedding_neardup_lsh(ds, threshold=0.45, n_bits=6)
-    return _collect(pairs, pa.schema([("vec_a", pa.int64()),
-                                      ("vec_b", pa.int64()),
-                                      ("cos_sim", pa.float64())]))
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_dup_pairs(
+                 _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                 threshold=0.45).take_all()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in embedding_neardup_lsh(
+               _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+               threshold=0.45, n_bits=6).take_all()}
+    recall = len(lsh & exact) / max(1, len(exact))
+    return pa.table({
+        "n_exact_pairs": pa.array([len(exact)], pa.int64()),
+        "precision_ok": pa.array([lsh <= exact], pa.bool_()),
+        "recall_ok": pa.array([recall >= 0.85], pa.bool_()),
+    })
 
 
 def _markdown_projection(tbl: pa.Table) -> set:
@@ -2983,10 +3061,13 @@ def markdown_roundtrip(sf_dir: str):
 # design, recall vs brute force is pytest-asserted)
 # ---------------------------------------------------------------------------
 
-@_q("ann_topk_lsh")
+@_q("ann_topk_lsh", _ANN_SUMMARY_SQL)
 def ann_topk_lsh(sf_dir: str):
     """Random-hyperplane LSH candidate pruning + exact-cosine rerank,
-    same query vector as ann_topk_cosine (vec_id 0)."""
+    same query vector as ann_topk_cosine (vec_id 0). Accuracy contract
+    oracle-visible: recall vs the recomputed brute-force top-10 must be
+    ≥ 0.85 (measured 0.9-1.0 on the sandbox embeddings; raw neighbor
+    rows via stages/similarity.ann_lsh_topk)."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import ann_lsh_topk
@@ -2996,7 +3077,8 @@ def ann_topk_lsh(sf_dir: str):
                          filters=[("vec_id", "=", 0)])
     q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann_lsh_topk(ds, q, k=10, exclude_ids=(0,))
+    approx = ann_lsh_topk(ds, q, k=10, exclude_ids=(0,))
+    return _ann_recall_row(sf_dir, approx, floor=0.85)
 
 
 # ---------------------------------------------------------------------------

@@ -44,10 +44,15 @@ def test_pagerank_matches_oracle_with_dangling(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
-def test_pagerank_distributed_forced_path_parity(ray_session):
-    # max_driver_edges=0 forces the cogroup-join/bucket-aggregate
-    # path; must match both the sequential oracle and the driver path.
-    got = _run(_EDGES, n_iter=6, max_driver_edges=0)
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["actors", "dataset"])
+def test_pagerank_distributed_forced_path_parity(ray_session, engine):
+    # max_driver_edges=0 forces a distributed engine (Pregel shard
+    # actors or the cogroup-join/bucket-aggregate Dataset loop); both
+    # must match the sequential oracle and the driver path exactly.
+    got = _run(_EDGES, n_iter=6, max_driver_edges=0, engine=engine)
     want = _oracle(_EDGES, n_iter=6)
     fast = _run(_EDGES, n_iter=6)
     assert set(got) == set(want)
@@ -61,7 +66,8 @@ def test_pagerank_multi_edge_semantics(ray_session):
     # edge ROWS — both paths must agree with the oracle on that
     edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")]
     want = _oracle(edges, n_iter=4)
-    for kw in ({}, {"max_driver_edges": 0}):
+    for kw in ({}, {"max_driver_edges": 0},
+               {"max_driver_edges": 0, "engine": "dataset"}):
         got = _run(edges, n_iter=4, **kw)
         for v in want:
             assert abs(got[v] - want[v]) < 1e-12, (kw, v)
@@ -79,7 +85,8 @@ def test_pagerank_tol_early_exit(ray_session):
     # a cycle converges to uniform immediately: with tol set, a huge
     # n_iter must still return the converged answer (and quickly)
     edges = [("n0", "n1"), ("n1", "n2"), ("n2", "n0")]
-    for kw in ({}, {"max_driver_edges": 0}):
+    for kw in ({}, {"max_driver_edges": 0},
+               {"max_driver_edges": 0, "engine": "dataset"}):
         got = _run(edges, n_iter=500, tol=1e-9, **kw)
         for v, r in got.items():
             assert abs(r - 1.0 / 3) < 1e-9, (kw, v, r)
