@@ -196,22 +196,9 @@ def _pagerank_actors(norm, edges, flagged, n_nodes: int, *,
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import bucket_of
+    from .shardutil import split_dataset_by_bucket
 
     B = num_shards
-
-    @ray.remote(num_returns=B)
-    def split(tbl: pa.Table, col: str, nb: int):
-        if col not in tbl.column_names or tbl.num_rows == 0:
-            # schema-less empty blocks fall out of groupby/map_groups
-            # (documented pitfall); loaders drop zero-row parts anyway
-            parts = tuple(tbl.slice(0, 0) for _ in range(nb))
-        else:
-            bk = bucket_of(tbl[col].combine_chunks(), nb) \
-                .to_numpy(zero_copy_only=False)
-            parts = tuple(tbl.filter(pa.array(bk == t))
-                          for t in range(nb))
-        return parts if nb > 1 else parts[0]
 
     ranks_schema = pa.schema([("node", pa.string()), ("dang", pa.int8())])
 
@@ -224,14 +211,8 @@ def _pagerank_actors(norm, edges, flagged, n_nodes: int, *,
     node_init = flagged.map_batches(init_rank, batch_format="pyarrow") \
         .materialize()
 
-    edge_cols = [[] for _ in range(B)]
-    node_cols = [[] for _ in range(B)]
-    for ref in edges.to_arrow_refs():
-        for t, part in enumerate(split.remote(ref, "src", B)):
-            edge_cols[t].append(part)
-    for ref in node_init.to_arrow_refs():
-        for t, part in enumerate(split.remote(ref, "node", B)):
-            node_cols[t].append(part)
+    edge_cols = split_dataset_by_bucket(edges, "src", B)
+    node_cols = split_dataset_by_bucket(node_init, "node", B)
 
     Shard = ray.remote(num_cpus=0.5)(_PRShard)
     shards = [Shard.remote(b, B, damping) for b in range(B)]
