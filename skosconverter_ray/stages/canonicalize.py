@@ -65,7 +65,7 @@ def _rank_array(uris, preferred_ns: str | None) -> pa.Array:
 
 def canonical_map(triples_ds, *, max_rounds: int = 64,
                   preferred_ns: str | None = None,
-                  num_buckets: int = 64):
+                  num_buckets: int = 64, engine: str = "auto"):
     """-> canon_map Dataset (uri, canonical_uri), non-trivial rows only.
 
     Distributed hash-min label propagation. Labels stay DISTRIBUTED
@@ -83,6 +83,12 @@ def canonical_map(triples_ds, *, max_rounds: int = 64,
     dominated by fixed shuffle latency, not data volume.
     ``max_rounds`` caps pathological graphs.
 
+    Above the driver gate two engines exist: ``"auto"``/``"actors"``
+    (default) runs the same hash-min + pointer jumping on Pregel-tier
+    shard actors (stages/shardutil; zero Dataset exchanges per round),
+    ``"dataset"`` keeps the cogroup-join loop described above, covered
+    by engine-parametrized parity tests.
+
     ``preferred_ns``: URIs under this namespace outrank foreign URIs as
     cluster representatives (so an ``owl:sameAs`` alias never replaces
     a real vocabulary concept). Implemented by rank-prefixing the
@@ -92,12 +98,193 @@ def canonical_map(triples_ds, *, max_rounds: int = 64,
     return components_min_label(equivalence_edges(triples_ds),
                                 max_rounds=max_rounds,
                                 preferred_ns=preferred_ns,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets, engine=engine)
+
+
+class _CCShard:
+    """One connected-components shard (``ray.remote`` at use; see
+    components_min_label). Holds the label state and adjacency for
+    nodes with ``bucket_of(node) == b``. A round is hash-min with
+    pointer jumping, three RPC waves:
+
+    - **emit**: changed nodes push their label to every neighbor
+      (labels only decrease, so unchanged nodes have nothing new to
+      say), and the shard requests ``label(label(node))`` for each of
+      its DISTINCT current labels (pointer doubling);
+    - **serve**: answer incoming jump requests from local labels;
+    - **apply**: min-merge neighbor candidates + jump answers,
+      returning the changed count for the driver's termination fold.
+
+    Candidate sets per round are a superset-equivalent of the Dataset
+    loop's (min is idempotent; resends from unchanged nodes can never
+    lower a min the receiver hasn't already seen), so the fixpoint is
+    identical — pinned by the engine-parametrized parity tests."""
+
+    def __init__(self, bucket: int, n_buckets: int,
+                 preferred_ns: str | None):
+        self.b, self.B, self.ns = bucket, n_buckets, preferred_ns
+
+    def _rank(self, uri: str) -> str:
+        if self.ns and uri.startswith(self.ns):
+            return "0|" + uri
+        return "1|" + uri
+
+    def load(self, edge_refs) -> int:
+        import ray
+
+        from ..functions.hashing import bucket_of
+
+        adj: dict[str, list] = {}
+        for t in ray.get(list(edge_refs)):
+            if not t.num_rows:
+                continue
+            for n, p in zip(t["node"].to_pylist(), t["peer"].to_pylist()):
+                adj.setdefault(n, []).append(p)
+        self.nodes = sorted(adj)
+        self.idx = {u: i for i, u in enumerate(self.nodes)}
+        # peer routing buckets, hashed in the SAME flattened order the
+        # adjacency is built in (sorted nodes, then that node's peers)
+        peers_flat = [p for u in self.nodes for p in adj[u]]
+        pb = bucket_of(pa.array(peers_flat, pa.string()), self.B) \
+            .to_pylist() if peers_flat else []
+        pos = 0
+        self.adj = []
+        for u in self.nodes:
+            ps = adj[u]
+            self.adj.append(list(zip(ps, pb[pos:pos + len(ps)])))
+            pos += len(ps)
+        # seed: min(rank(self), rank(peers)) — local, no exchange
+        self.label = [
+            min([self._rank(u)] + [self._rank(p) for p, _ in self.adj[i]])
+            for i, u in enumerate(self.nodes)]
+        self.changed = list(range(len(self.nodes)))
+        return len(self.nodes)
+
+    def emit(self):
+        import ray
+
+        from ..functions.hashing import bucket_of
+
+        msgs: list[list] = [[] for _ in range(self.B)]
+        for i in self.changed:
+            lab = self.label[i]
+            for p, pbk in self.adj[i]:
+                msgs[pbk].append((p, lab))
+        self.changed = []
+        # jump requests: one per DISTINCT label, routed to the label's
+        # owner shard; answers broadcast back to every local holder
+        uniq = sorted(set(self.label))
+        reqs: list[list] = [[] for _ in range(self.B)]
+        if uniq:
+            tb = bucket_of(pa.array([l[2:] for l in uniq], pa.string()),
+                           self.B).to_pylist()
+            for lab, t in zip(uniq, tb):
+                reqs[t].append(lab)
+        return ([ray.put(m) if m else None for m in msgs],
+                [ray.put(r) if r else None for r in reqs])
+
+    def serve(self, req_refs):
+        import ray
+
+        # answers are keyed by the label string itself (requesters are
+        # anonymous), so ONE (lab -> label(lab)) table is put once and
+        # its ref broadcast to every shard — one row per distinct
+        # label per round
+        pairs = []
+        for labs in ray.get(list(req_refs)):
+            for lab in labs:
+                i = self.idx.get(lab[2:])
+                if i is not None:
+                    pairs.append((lab, self.label[i]))
+        if not pairs:
+            return [None] * self.B
+        ref = ray.put(pairs)
+        return [ref] * self.B
+
+    def apply(self, msg_refs, ans_refs) -> int:
+        import ray
+
+        changed = set()
+        for rows in ray.get(list(msg_refs)):
+            for node, cand in rows:
+                i = self.idx.get(node)
+                if i is not None and cand < self.label[i]:
+                    self.label[i] = cand
+                    changed.add(i)
+        jump = {}
+        for rows in ray.get(list(ans_refs)):
+            for lab, lab2 in rows:
+                if lab2 < jump.get(lab, lab):
+                    jump[lab] = lab2
+        for i, lab in enumerate(self.label):
+            better = jump.get(lab)
+            if better is not None and better < lab:
+                self.label[i] = better
+                changed.add(i)
+        self.changed = sorted(changed)
+        return len(changed)
+
+    def result(self) -> pa.Table:
+        uris, canon = [], []
+        for u, lab in zip(self.nodes, self.label):
+            c = lab[2:]
+            if c != u:
+                uris.append(u)
+                canon.append(c)
+        return pa.table({"uri": pa.array(uris, pa.string()),
+                         "canonical_uri": pa.array(canon, pa.string())})
+
+
+def _components_actors(edges, *, max_rounds: int, preferred_ns,
+                       num_buckets: int):
+    """Shard-actor engine for components_min_label (same Pregel tier
+    as stages/graph._PRShard): zero Dataset exchanges per round, the
+    driver relays refs and folds the changed-count scalar."""
+    import ray
+    import ray.data as rd
+
+    from .shardutil import split_dataset_by_bucket
+
+    B = max(2, min(num_buckets, 8))
+    # splits run BEFORE actor creation, and the shard actors reserve no
+    # CPUs: B x num_cpus actors reserving the whole machine would
+    # starve the split/materialize tasks they wait on (the actor-pool
+    # live-lock pitfall) — these actors work in short serialized waves
+    edge_cols = split_dataset_by_bucket(edges, "node", B)
+    Shard = ray.remote(num_cpus=0)(_CCShard)
+    shards = [Shard.remote(b, B, preferred_ns) for b in range(B)]
+    try:
+        ray.get([s.load.remote(edge_cols[b])
+                 for b, s in enumerate(shards)])
+        for _ in range(max_rounds):
+            outs = ray.get([s.emit.remote() for s in shards])
+            msg_in = [[outs[b][0][t] for b in range(B)
+                       if outs[b][0][t] is not None] for t in range(B)]
+            req_in = [[outs[b][1][t] for b in range(B)
+                       if outs[b][1][t] is not None] for t in range(B)]
+            answers = ray.get([s.serve.remote(req_in[t])
+                               for t, s in enumerate(shards)])
+            ans_in = [[answers[b][t] for b in range(B)
+                       if answers[b][t] is not None] for t in range(B)]
+            n_changed = sum(ray.get(
+                [s.apply.remote(msg_in[t], ans_in[t])
+                 for t, s in enumerate(shards)]))
+            if os.environ.get("GRAFT_UF_DEBUG"):
+                print(f"[canonical_map/actors] round changed="
+                      f"{n_changed}", flush=True)
+            if n_changed == 0:
+                break
+        out = rd.from_arrow_refs(
+            [s.result.remote() for s in shards]).materialize()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return out
 
 
 def components_min_label(edges_ds, *, max_rounds: int = 64,
                          preferred_ns: str | None = None,
-                         num_buckets: int = 64):
+                         num_buckets: int = 64, engine: str = "auto"):
     """Connected components over symmetric (node, peer) string edges ->
     (uri, canonical_uri) non-trivial member rows; representative = min
     by (rank, value). The general primitive behind
@@ -130,6 +317,11 @@ def components_min_label(edges_ds, *, max_rounds: int = 64,
     # driver memory.
     if n_edges <= _DRIVER_UF_MAX:
         return _driver_union_find(edges, _rank)
+
+    if engine in ("auto", "actors"):
+        return _components_actors(edges, max_rounds=max_rounds,
+                                  preferred_ns=preferred_ns,
+                                  num_buckets=num_buckets)
 
     # seed labels: node -> min rank-prefixed candidate over
     # {node} ∪ neighbors — one groupby-min over the symmetric edges

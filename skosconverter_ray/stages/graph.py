@@ -211,10 +211,12 @@ def _pagerank_actors(norm, edges, flagged, n_nodes: int, *,
     node_init = flagged.map_batches(init_rank, batch_format="pyarrow") \
         .materialize()
 
+    # splits before actor creation + zero-CPU actors: reserving
+    # B x num_cpus would starve the split tasks (actor-pool live-lock)
     edge_cols = split_dataset_by_bucket(edges, "src", B)
     node_cols = split_dataset_by_bucket(node_init, "node", B)
 
-    Shard = ray.remote(num_cpus=0.5)(_PRShard)
+    Shard = ray.remote(num_cpus=0)(_PRShard)
     shards = [Shard.remote(b, B, damping) for b in range(B)]
     try:
         ray.get([s.load.remote(node_cols[b], edge_cols[b], n_nodes)

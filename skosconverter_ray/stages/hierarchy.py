@@ -532,12 +532,14 @@ def build_tree_rows_distributed(triples_ds, cfg: EngineConfig | None = None):
     uris = c_side.map_batches(
         lambda b: pa.table({"uri": b["uri"]}),
         batch_format="pyarrow").materialize()
-    Shard = ray.remote(num_cpus=0.5)(_TreeShard)
+    # splits before actor creation + zero-CPU actors: reserving
+    # B x num_cpus would starve the split tasks (actor-pool live-lock)
+    node_cols = split_dataset_by_bucket(uris, "uri", B)
+    root_cols = split_dataset_by_bucket(best, "uri", B)
+    edge_cols = split_dataset_by_bucket(children, "parent", B)
+    Shard = ray.remote(num_cpus=0)(_TreeShard)
     shards = [Shard.remote(b, B) for b in range(B)]
     try:
-        node_cols = split_dataset_by_bucket(uris, "uri", B)
-        root_cols = split_dataset_by_bucket(best, "uri", B)
-        edge_cols = split_dataset_by_bucket(children, "parent", B)
         ray.get([s.load.remote(node_cols[b], root_cols[b], edge_cols[b])
                  for b, s in enumerate(shards)])
         for _round in range(cfg.max_hierarchy_depth - 1):
