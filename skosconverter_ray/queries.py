@@ -1445,6 +1445,69 @@ def doc_repetition_signals(sf_dir: str):
 
 
 @_q(
+    "doc_bigram_lm",
+    r"""
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(a) AS t,
+             generate_subscripts(a, 1) AS i
+      FROM arr
+    ),
+    bg AS (
+      SELECT doc_id, t AS w,
+             lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM tok QUALIFY nxt IS NOT NULL
+    ),
+    cnt AS (SELECT w, nxt, CAST(count(*) AS BIGINT) AS c
+            FROM bg GROUP BY w, nxt)
+    SELECT w, nxt, c FROM cnt
+    QUALIFY row_number() OVER (PARTITION BY w ORDER BY c DESC, nxt) <= 3
+    """,
+)
+def doc_bigram_lm(sf_dir: str):
+    """Bigram-LM continuation table (LM data prep): for every corpus
+    token, its top-3 followers by count (ties lexicographic). A doc
+    never splits across rows, so pair extraction is one vectorized
+    polars map (shift within doc); counts fold through one
+    vocab²-bucket aggregate and the per-token top-3 is the partial
+    top-k operator (≤k rows per key enter the final exchange)."""
+    import polars as pl
+
+    from .stages.skew import bucket_aggregate
+    from .stages.topk import top_k_per_key
+
+    pair_schema = pa.schema([("w", pa.string()), ("nxt", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("t")) \
+            .drop("text").explode("t").filter(pl.col("t").is_not_null())
+        out = (df.with_columns(
+            pl.col("t").shift(-1).over("doc_id").alias("nxt"))
+            .drop_nulls("nxt")
+            .group_by(["t", "nxt"]).len(name="n")
+            .rename({"t": "w"}))
+        return out.to_arrow().cast(pair_schema)
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+    cnt = bucket_aggregate(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["w", "nxt"], [("sum", "n", "c")], num_buckets=nb,
+        bucket_key="w")
+    top = top_k_per_key(cnt, ["w"], "c", 3, descending=True,
+                        tiebreak="nxt", num_buckets=nb)
+    return _collect(top.select_columns(["w", "nxt", "c"]),
+                    pa.schema([("w", pa.string()), ("nxt", pa.string()),
+                               ("c", pa.int64())]))
+
+
+@_q(
     "doc_pack_sequences",
     r"""
     WITH n AS (
@@ -4235,7 +4298,7 @@ _GATE_FIRST = [
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",
-    "media_thumbnails",
+    "media_thumbnails", "doc_bigram_lm",
     "skos_tree_order_distributed", "doc_tfidf_top_terms",
     "term_cooccurrence", "events_funnel", "inverted_index",
     "jsonld_graph_roundtrip", "events_histogram_align",
