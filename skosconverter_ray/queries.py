@@ -1198,8 +1198,13 @@ def _doc_salient_terms(sf_dir: str, k: int):
     def score(batch: pa.Table) -> pa.Table:
         dfv = batch["df"].to_numpy(zero_copy_only=False)
         tfv = batch["tf"].to_numpy(zero_copy_only=False)
-        idf = np.floor(np.log2(np.maximum(n_docs // dfv, 1))).astype(
-            np.int64) + 1
+        # exact shift arithmetic (== floor(log2)+1 for x >= 1): the
+        # float log2 can misreport just below powers of two for
+        # x >= ~2^47, breaking DuckDB parity (same discipline as
+        # doc_unigram_surprisal)
+        from .functions.hashing import bit_length_u64
+        idf = bit_length_u64(
+            np.maximum(n_docs // dfv, 1).astype(np.uint64))
         return batch.append_column("score", pa.array(tfv * idf, pa.int64()))
 
     scored = joined.map_batches(score, batch_format="pyarrow")
@@ -1670,7 +1675,8 @@ def inverted_index(sf_dir: str):
          m AS (SELECT min(n) AS mn FROM c)
     SELECT d.lang, count(*) AS n_kept
     FROM documents d JOIN c USING (lang), m
-    WHERE (abs(d.doc_id * 2654435761) % 1000003) * c.n < m.mn * 1000003
+    WHERE ((abs(d.doc_id) % 1000003) * 2654435761 % 1000003) * c.n
+          < m.mn * 1000003
     GROUP BY d.lang
     """,
 )
@@ -1699,7 +1705,10 @@ def doc_training_mix(sf_dir: str):
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         langs = batch["lang"].to_numpy(zero_copy_only=False)
         n_lang = np.array([counts[x] for x in langs], np.int64)
-        h = np.abs(did * np.int64(2654435761)) % mod
+        # abs() then % 1000003 FIRST: keeps the product < 2^63 for any
+        # int64 id (|id| * K would silently wrap in numpy while DuckDB
+        # raises — same overflow-safe pattern as events_split_counts)
+        h = ((np.abs(did) % mod) * np.int64(2654435761)) % mod
         return batch.filter(pa.array(h * n_lang < np.int64(mn) * mod))
 
     kept = ds.map_batches(keep, batch_format="pyarrow")
@@ -2641,14 +2650,20 @@ def doc_dedup_simhash(sf_dir: str):
     ids = sorted(sigs)
     s = np.array([sigs[i] for i in ids], dtype=np.int64) \
         .astype(np.uint64)
-    x = s[:, None] ^ s[None, :]
-    ham = np.zeros(x.shape, np.int64)
-    while x.any():
-        ham += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    ai, bi = np.where(np.triu(ham <= 3, k=1))
-    brute = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
-             for a, b in zip(ai.tolist(), bi.tolist())}
+    # blocked hamming scan: O(block x n) peak instead of the n x n
+    # matrices that would OOM the driver past ~10k docs
+    brute = set()
+    blk = 1024
+    for lo in range(0, len(ids), blk):
+        x = s[lo:lo + blk, None] ^ s[None, :]
+        ham = np.zeros(x.shape, np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        ai, bi = np.where(ham <= 3)
+        for a, b in zip((ai + lo).tolist(), bi.tolist()):
+            if a < b:
+                brute.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
     return pa.table({
         "n_docs": pa.array([len(ids)], pa.int64()),
         "banding_equals_brute": pa.array([banded == brute], pa.bool_()),

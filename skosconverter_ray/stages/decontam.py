@@ -45,7 +45,8 @@ def _doc_gram_sets(batch: pa.Table, text_col: str, n: int):
 def decontaminate(corpus_ds, bench_ds, *, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 8,
                   broadcast_limit: int = 4_000_000,
-                  num_buckets: int = 16):
+                  num_buckets: int = 16,
+                  id_type: pa.DataType | None = None):
     """(id, n_hits, n_grams) per corpus doc with ≥1 distinct n-gram."""
     import ray
 
@@ -91,14 +92,23 @@ def decontaminate(corpus_ds, bench_ds, *, text_col: str = "text",
 
         return corpus_ds.map_batches(score, batch_format="pyarrow")
 
-    # distributed plan: grams as rows, one outer join + one aggregate
-    id_type = None  # taken from the batch at emit time
+    # distributed plan: grams as rows, one outer join + one aggregate.
+    # The cogroup join needs an explicit left schema (lazy .schema()
+    # re-executes upstream), so the id type must be declared: take it
+    # from the caller, else from the corpus dataset (cheap for a
+    # read_parquet root — metadata only; pass id_type explicitly when
+    # corpus_ds has mapped lineage). String and int ids both work.
+    if id_type is None:
+        sch = corpus_ds.schema()  # ray.data.Schema: .names / .types
+        id_type = sch.types[sch.names.index(id_col)]
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
+    def gram_rows(batch: pa.Table, _t=id_type) -> pa.Table:
         flat, lens = _doc_gram_sets(batch, text_col, n)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks() \
+            if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+        rep = pa.array(np.repeat(np.arange(len(ids)), lens), pa.int64())
         return pa.table({
-            id_col: pa.array(np.repeat(ids, lens)),
+            id_col: pc.cast(ids.take(rep), _t),
             "g": flat,
             "n_grams": np.repeat(lens, lens),
         })
@@ -114,7 +124,7 @@ def decontaminate(corpus_ds, bench_ds, *, text_col: str = "text",
                             "hit": np.ones(b.num_rows, np.int64)}),
         batch_format="pyarrow")
 
-    gram_schema = pa.schema([(id_col, pa.int64()), ("g", pa.uint64()),
+    gram_schema = pa.schema([(id_col, id_type), ("g", pa.uint64()),
                              ("n_grams", pa.int64())])
     bg_schema = pa.schema([("g", pa.uint64()), ("hit", pa.int64())])
     joined = cogroup_join(flat_ds, bg_distinct, left_on="g", right_on="g",

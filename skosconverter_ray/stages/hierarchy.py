@@ -246,16 +246,6 @@ def _seg_array(label_col, uri_col) -> pa.Array:
         pa.scalar(_SEG_TAIL), pa.scalar(""))
 
 
-def _min_path_rows(ds, *, num_buckets: int = 32):
-    """Per-uri row with the lexicographically smallest path (= the
-    first DFS visit). One partial-top-k + one coarse cogroup."""
-    from .topk import top_k_per_key
-
-    return top_k_per_key(ds, ["uri"], "path", 1, descending=False,
-                         tiebreak="path", num_buckets=num_buckets,
-                         bucket_key="uri")
-
-
 class _TreeShard:
     """One propagation shard for the distributed DFS-preorder
     (decorated ``ray.remote`` at use; see build_tree_rows_distributed).

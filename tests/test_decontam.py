@@ -56,6 +56,29 @@ def test_decontaminate_both_plans(ray_session, limit):
     assert got == want
 
 
+@pytest.mark.parametrize("limit", [4_000_000, 0])
+def test_decontaminate_string_ids_both_plans(ray_session, limit):
+    """String doc ids through BOTH plans — the distributed plan derives
+    the id field type from the corpus schema instead of pinning int64."""
+    rng = np.random.default_rng(11)
+    corpus = [(f"doc-{i:03d}", t) for i, t in _mk_docs(rng, 40, 12)]
+    bench = [(f"ev-{i}", t) for i, t in _mk_docs(rng, 6, 12)]
+    want = _brute(corpus, bench, n=3)
+
+    c_ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [i for i, _ in corpus],
+         "text": [t for _, t in corpus]})).repartition(4)
+    b_ds = ray.data.from_arrow(pa.table(
+        {"doc_id": [i for i, _ in bench],
+         "text": [t for _, t in bench]})).repartition(2)
+
+    out = decontaminate(c_ds, b_ds, n=3, broadcast_limit=limit,
+                        num_buckets=4, id_type=pa.string())
+    got = {r["doc_id"]: (r["n_hits"], r["n_grams"])
+           for r in out.take_all()}
+    assert got == want
+
+
 def test_decontaminate_short_and_empty_docs(ray_session):
     c_ds = ray.data.from_items([
         {"doc_id": 1, "text": ""},
