@@ -98,9 +98,19 @@ def run_headline() -> None:
     _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8) \
         .map_batches(_warm, batch_size=1).count()
 
+    # flagship_graph's registered query wraps the pipeline in its
+    # oracle-row verification (P/R mini-run + closure fixpoint count);
+    # the bench times the PIPELINE itself, like-for-like with prior
+    # rounds, via the shared helper
+    from skosconverter_ray.queries import _flagship_graph_outputs
+
+    overrides = {
+        "flagship_graph": lambda sf: _flagship_graph_outputs(sf)["graph"],
+    }
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES.get(name)
+        fn = overrides.get(name) or QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()

@@ -664,13 +664,11 @@ def part_type_stats(sf_dir: str):
 # Non-SQL-expressible: flagship KG construction (rows-only check)
 # ---------------------------------------------------------------------------
 
-@_q("flagship_graph")
-def flagship_graph(sf_dir: str):
-    """Docs -> linked mentions -> canonical, inverse-consistent graph.
-    Stateful linking + union-find: no SQL oracle (driver rows-only
-    check); pytest covers it against sequential oracles."""
-    import ray.data as rd
-
+def _flagship_graph_outputs(sf_dir: str) -> dict:
+    """Shared flagship run (synthetic pinned corpus ∪ sf documents ->
+    linked mentions -> canonical, inverse-consistent graph). Used by
+    the flagship_graph oracle row, entry(), and bench.py (which times
+    the pipeline itself, without the oracle's verification passes)."""
     from . import corpus, vocab
     from .pipelines.flagship import run_flagship
 
@@ -681,7 +679,70 @@ def flagship_graph(sf_dir: str):
     out = run_flagship(synthetic.union(flat), voc.triples,
                        preferred_ns="http://example.org/vocab/",
                        batch_size=512, materialize_before_dedup=False)
-    return out["graph"]
+    out["vocab"] = voc
+    return out
+
+
+@_q(
+    "flagship_graph",
+    """
+    SELECT CAST(1566 AS BIGINT) AS n_triples,
+           1.0 AS link_p, 1.0 AS link_r,
+           true AS inverse_consistent
+    """,
+)
+def flagship_graph(sf_dir: str):
+    """Flagship KG construction surfaced as an oracle row (stateful
+    linking + union-find has no SQL expression, so the row pins the
+    pipeline's own verifiable contract): n_triples on the pinned
+    seed-42 corpus at sf0.01, linking precision/recall vs the
+    generator's exact ground truth on the synthetic subset, and the
+    inverse-consistency fixpoint bit (re-applying the
+    inverse_consistency operator to the output graph adds nothing).
+    The raw graph stays exposed through entry() and the flagship
+    pytests."""
+    import ray
+
+    from . import corpus
+    from .functions.text import normalize_surface
+    from .stages.linker import build_label_index, link_documents
+    from .stages.triples import inverse_consistency
+
+    out = _flagship_graph_outputs(sf_dir)
+    graph = out["graph"].materialize()
+    n_triples = graph.count()
+    inverse_ok = inverse_consistency(graph).count() == n_triples
+
+    # P/R against exact generator ground truth. The graph and mentions
+    # outputs share lazy lineage (consuming both would run the linker
+    # twice over the full corpus), so the check links the pinned
+    # 300-doc synthetic corpus in its own tiny pass instead — same
+    # index, same stage, bounded driver set.
+    voc = out["vocab"]
+    gt = corpus.ground_truth_mentions(300, voc, seed=42)
+    truth = {
+        (d, s, normalize_surface(t), u)
+        for d, s, t, u in zip(
+            gt["doc_id"].to_pylist(), gt["span_idx"].to_pylist(),
+            gt["surface"].to_pylist(), gt["concept_uri"].to_pylist())
+    }
+    index_ref = ray.put(build_label_index(voc.triples))
+    syn = link_documents(
+        corpus.documents_dataset(300, voc, seed=42, override_num_blocks=4),
+        index_ref, concurrency=None, batch_size=128)
+    found = {(r["doc_id"], r["span_idx"], r["surface"], r["concept_uri"])
+             for b in syn.iter_batches(batch_format="pyarrow",
+                                       batch_size=4096)
+             for r in b.to_pylist()}
+    tp = len(found & truth)
+    link_p = round(tp / max(1, len(found)), 4)
+    link_r = round(tp / max(1, len(truth)), 4)
+    return pa.table({
+        "n_triples": pa.array([n_triples], pa.int64()),
+        "link_p": pa.array([link_p], pa.float64()),
+        "link_r": pa.array([link_r], pa.float64()),
+        "inverse_consistent": pa.array([inverse_ok], pa.bool_()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -689,10 +750,22 @@ def flagship_graph(sf_dir: str):
 # beyond SQL; conformance is pytest-verified against golden outputs)
 # ---------------------------------------------------------------------------
 
-@_q("skos_tree_rows")
+@_q(
+    "skos_tree_rows",
+    """
+    SELECT CAST(123 AS BIGINT) AS n_rows,
+           '7828963196cf33c5' AS order_hash
+    """,
+)
 def skos_tree_rows(sf_dir: str):
     """Vocabulary triples -> inverse-closed, globally ordered tree_rows
-    (the render IR behind the CSV/MD/XML/JSON sinks)."""
+    (the render IR behind the CSV/MD/XML/JSON sinks), surfaced as an
+    oracle row: the DFS-preorder row count plus a hash of the full
+    ordered (title, parent, scheme, level, uri) sequence on the pinned
+    seed-42 generator vocabulary — any ordering or content drift flips
+    the hash. Raw rows stay covered by the render golden tests."""
+    import hashlib
+
     import ray.data as rd
 
     from . import vocab
@@ -700,7 +773,14 @@ def skos_tree_rows(sf_dir: str):
 
     voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=3, n_concepts=120,
                                                seed=42))
-    return tree_rows_pipeline(rd.from_arrow(voc.triples))
+    rows = tree_rows_pipeline(rd.from_arrow(voc.triples)).take_all()
+    seq = [(r["title"], r["parent"], r["scheme"], r["level"], r["uri"])
+           for r in rows]
+    h = hashlib.sha256(
+        "\x1e".join("\x1f".join(str(v) for v in t) for t in seq)
+        .encode()).hexdigest()[:16]
+    return pa.table({"n_rows": pa.array([len(seq)], pa.int64()),
+                     "order_hash": pa.array([h], pa.string())})
 
 
 @_q(
@@ -740,17 +820,43 @@ def skos_tree_order_distributed(sf_dir: str):
     })
 
 
-@_q("skos_validate")
+@_q(
+    "skos_validate",
+    """
+    SELECT * FROM (VALUES
+      ('error',   'missing_label',        CAST(1 AS BIGINT)),
+      ('error',   'multiple_pref_labels', 1),
+      ('error',   'cycle',                2),
+      ('warning', 'orphan_no_scheme',     2),
+      ('warning', 'orphan_in_scheme',     4),
+      ('warning', 'topconcept_onesided',  2),
+      ('warning', 'duplicate_label',      1),
+      ('warning', 'polyhierarchy',        1),
+      ('warning', 'depth_exceeded',       1)
+    ) AS t(severity, "check", n)
+    """,
+)
 def skos_validate(sf_dir: str):
-    """Validator suite over the pathology fixture -> issues table."""
+    """Validator suite over the pathology fixture, surfaced as an
+    oracle row: per-(severity, check) issue counts on the pinned
+    seed-7 pathology vocabulary (constants — the fixture is
+    deterministic, so a validator regression changes a count). Raw
+    issue rows stay covered by tests/test_validate.py."""
     import ray.data as rd
 
     from . import vocab
+    from .stages.skew import bucket_aggregate
     from .stages.validate import validate
 
     voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
                                                seed=7, pathologies=True))
-    return validate(rd.from_arrow(voc.triples))
+    issues = validate(rd.from_arrow(voc.triples))
+    out = bucket_aggregate(issues.select_columns(["severity", "check"]),
+                           ["severity", "check"],
+                           [("count", None, "n")], num_buckets=2)
+    return _collect(out, pa.schema([("severity", pa.string()),
+                                    ("check", pa.string()),
+                                    ("n", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -803,15 +909,26 @@ def doc_dedup_minhash(sf_dir: str):
 # is pinned against a sequential dense oracle in tests/test_graph.py)
 # ---------------------------------------------------------------------------
 
-@_q("graph_pagerank")
+@_q(
+    "graph_pagerank",
+    """
+    SELECT (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+         + (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_nodes,
+           true AS engines_match,
+           1.0 AS rank_sum
+    """,
+)
 def graph_pagerank(sf_dir: str):
     """PageRank (5 synchronous rounds, d=0.85) over the bipartite
-    supplier->part edge list from lineitem (stages/graph.py): per
-    round one cogroup join (edges ⋈ ranks) + one coarse-bucket
-    contribution sum; the driver only ever sees the dangling-mass
-    scalar. Returns the 20 highest-ranked nodes."""
+    supplier->part edge list from lineitem (stages/graph.py), surfaced
+    as an oracle row: n_nodes is SQL-live (distinct suppliers + parts
+    — the s/p prefixes keep the namespaces disjoint), engines_match
+    pins the Pregel shard-actor engine to the driver numpy engine on
+    the same edges (per-node |Δ| < 1e-9), and rank_sum pins probability-mass
+    conservation (Σ rank = 1 to 6 dp). Top-rank ordering stays covered
+    by the sequential-oracle pytests in tests/test_graph.py."""
     from .stages.graph import pagerank
-    from .stages.topk import top_k_per_key
+    from .stages.joinutil import cogroup_join
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
 
@@ -825,23 +942,45 @@ def graph_pagerank(sf_dir: str):
                 pc.cast(batch["l_partkey"], pa.string()), ""),
         })
 
-    ranks = pagerank(li.map_batches(edges, batch_format="pyarrow"),
-                     n_iter=5, num_buckets=16)
+    edge_ds = li.map_batches(edges, batch_format="pyarrow").materialize()
 
-    def tag_const(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_one", pa.array(
-            np.zeros(batch.num_rows, np.int8)))
+    # driver numpy engine (the ≤4M-edge fast path)...
+    driver = pagerank(edge_ds, n_iter=5, num_buckets=16).materialize()
+    # ...vs the Pregel shard-actor engine, forced distributed
+    actors = pagerank(edge_ds, n_iter=5, num_buckets=16,
+                      max_driver_edges=0, engine="actors").materialize()
 
-    top = top_k_per_key(
-        ranks.map_batches(tag_const, batch_format="pyarrow"),
-        ["_one"], "rank", 20, descending=True, tiebreak="node",
-        num_buckets=1)
-    t = _collect(top.select_columns(["node", "rank"]),
-                 pa.schema([("node", pa.string()),
-                            ("rank", pa.float64())]))
-    order = pc.sort_indices(t, sort_keys=[("rank", "descending"),
-                                          ("node", "ascending")])
-    return t.take(order).slice(0, 20)
+    # the parity check itself stays distributed (rank tables scale with
+    # the graph): one full-outer cogroup, count rows where the two
+    # engines disagree (a one-sided node surfaces as a null = mismatch)
+    rank_schema = pa.schema([("node", pa.string()), ("rank", pa.float64())])
+    joined = cogroup_join(
+        driver, actors.map_batches(
+            lambda b: pa.table({"node": b["node"], "rank_b": b["rank"]}),
+            batch_format="pyarrow"),
+        left_on="node", right_on="node", join_type="full outer",
+        num_buckets=8, left_schema=rank_schema,
+        right_schema=pa.schema([("node", pa.string()),
+                                ("rank_b", pa.float64())]))
+    n_nodes = driver.count()
+    bad = 0
+    for b in joined.iter_batches(batch_format="pyarrow", batch_size=8192):
+        # one-sided (null) rows count as mismatch; the engines agree to
+        # 1e-9 (not bit-for-bit: the numpy engine's dense matvec sums
+        # contributions in a different order than the shard actors'
+        # per-bucket partial sums — same 1e-12-per-term class as the
+        # parity pytests, scaled to this graph's term count)
+        diff = pc.abs(pc.subtract(b["rank"], b["rank_b"]))
+        ok = pc.sum(pc.cast(pc.less(diff, pa.scalar(1e-9)),
+                            pa.int64())).as_py() or 0
+        bad += b.num_rows - ok
+    rank_sum = driver.sum("rank")
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "engines_match": pa.array([bad == 0 and
+                                   actors.count() == n_nodes], pa.bool_()),
+        "rank_sum": pa.array([round(rank_sum, 6)], pa.float64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -2803,23 +2942,55 @@ def rolling_hash64(text: str) -> int:
                & np.uint64((1 << 63) - 1))
 
 
-@_q("doc_fingerprint_rolling")
+@_q(
+    "doc_fingerprint_rolling",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT CAST(sum(length(text)) AS BIGINT)
+              FROM documents) AS n_chars_total,
+           CAST(-5857603289465584956 AS BIGINT) AS fp_checksum
+    """,
+)
 def doc_fingerprint_rolling(sf_dir: str):
-    """Per-doc rolling-hash fingerprint + text length — the cheap
-    exact-dup blocking key family alongside the min-shingle
-    fingerprint. Pure per-batch map, no shuffle."""
+    """Per-doc rolling-hash fingerprints (Rabin-Karp blocking keys),
+    surfaced as an oracle row: n_docs and the total character mass are
+    SQL-live cross-checks of the distributed map's coverage;
+    fp_checksum is the wrap-around int64 sum of every fingerprint
+    (reduction-order-free), a constant for the driver-generated sf0.01
+    table — any hash drift flips it. Per-doc values stay pinned by the
+    sequential-oracle pytest."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "rolling_fp": pa.array([rolling_hash64(t or "") for t in texts],
-                                   pa.int64()),
-            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
-        })
+        fps = np.array([rolling_hash64(t or "") for t in texts], np.int64)
+        ncs = np.array([len(t or "") for t in texts], np.int64)
+        with np.errstate(over="ignore"):
+            return pa.table({
+                "n_docs": pa.array([len(texts)], pa.int64()),
+                "n_chars": pa.array([int(ncs.sum())], pa.int64()),
+                "fp_sum": pa.array(
+                    [int(fps.view(np.uint64).sum(dtype=np.uint64))],
+                    pa.uint64()),
+            })
 
-    return ds.map_batches(fp, batch_format="pyarrow")
+    n_docs = n_chars = 0
+    fp_sum = np.uint64(0)
+    for b in ds.map_batches(fp, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=4096):
+        n_docs += pc.sum(b["n_docs"]).as_py() or 0
+        n_chars += pc.sum(b["n_chars"]).as_py() or 0
+        with np.errstate(over="ignore"):
+            fp_sum += np.uint64(
+                b["fp_sum"].to_numpy(zero_copy_only=False)
+                .sum(dtype=np.uint64))
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_chars_total": pa.array([n_chars], pa.int64()),
+        "fp_checksum": pa.array(
+            [int(np.array([fp_sum], np.uint64).view(np.int64)[0])],
+            pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -2912,16 +3083,59 @@ def embedding_neardup_cosine(sf_dir: str):
                                       ("cos_sim", pa.float64())]))
 
 
-@_q("embedding_pca")
+@_q(
+    "embedding_pca",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+           CAST(3 AS BIGINT) AS k,
+           true AS numpy_parity
+    """,
+)
 def embedding_pca(sf_dir: str):
-    """Top-3 principal components of the embedding table (rows-only:
-    eigendecomposition is beyond SQL; numpy-oracle parity is
-    pytest-asserted in tests/test_similarity.py). Streaming
-    second-moment partials; only d x d blobs leave the workers."""
+    """Distributed PCA surfaced as an oracle row (eigendecomposition
+    is beyond SQL): n_vectors is SQL-live; numpy_parity runs the
+    streaming second-moment PCA stage over a deterministic
+    hash-bounded sample (≤ ~4k vectors — the driver-side exact
+    recomputation must stay bounded at any sf) and pins its
+    eigenvalues + explained ratios to an exact single-matrix numpy
+    recomputation of the SAME sample within 1e-6. The full-table PCA
+    path itself is pinned by tests/test_dedup.py's numpy-oracle
+    test."""
     from .stages.similarity import embedding_pca as pca
 
-    ds = _read(sf_dir, "embeddings", ["embedding"])
-    return pca(ds, top_k=3)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vectors = ds.count()
+    # adaptive keep-1-in-M: expected sample ~4k rows at ANY sf, so the
+    # exact driver-side recomputation stays bounded
+    mod = max(1, n_vectors // 4096)
+
+    def sample(batch: pa.Table, _m=mod) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ((np.abs(vid) % 1000003) * 2654435761 % 1000003) % _m == 0
+        return batch.filter(pa.array(keep)).select(["embedding"])
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow").materialize()
+    dist = {r["component"]: (r["eigenvalue"], r["explained_ratio"])
+            for r in pca(sampled, top_k=3).take_all()}
+
+    # exact driver recomputation over the same (bounded) sample
+    mats = [np.asarray(v, np.float64)
+            for b in sampled.iter_batches(batch_format="pyarrow",
+                                          batch_size=4096)
+            for v in b["embedding"].to_pylist()]
+    m = np.stack(mats)
+    cov = (m.T @ m) / len(m) - np.outer(m.mean(axis=0), m.mean(axis=0))
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum()) or 1.0
+    ok = all(
+        abs(dist[i][0] - evals[i]) < 1e-6
+        and abs(dist[i][1] - evals[i] / total) < 1e-6
+        for i in range(3))
+    return pa.table({
+        "n_vectors": pa.array([n_vectors], pa.int64()),
+        "k": pa.array([3], pa.int64()),
+        "numpy_parity": pa.array([ok], pa.bool_()),
+    })
 
 
 def _ann_recall_row(sf_dir: str, approx_ds, floor: float) -> pa.Table:
@@ -3164,13 +3378,24 @@ def ann_topk_lsh(sf_dir: str):
 # deterministic fake features, plumbing pytest-verified)
 # ---------------------------------------------------------------------------
 
-@_q("media_features")
+@_q(
+    "media_features",
+    """
+    SELECT CAST(402 AS BIGINT) AS n_rows,
+           CAST(38262883 AS BIGINT) AS feat_checksum
+    """,
+)
 def media_features(sf_dir: str):
     """Actor-pool decode/feature stage over the deterministic synthetic
-    interleaved corpus. Media spans are refs (never inlined bytes);
-    each actor resolves a broadcast media store once and runs REAL
-    stdlib decoders (PCM WAV / 24-bit BMP) + signal featurization —
-    jpeg/png/mp3 style codecs stay behind NotImplementedError."""
+    interleaved corpus, surfaced as an oracle row: span-row count plus
+    a wrap-around int64 checksum of every feature value quantized at
+    1e-4 (order-independent integer sum — any decode or featurization
+    drift flips it; constants for the pinned seed-42 generator). Media
+    spans are refs (never inlined bytes); each actor resolves a
+    broadcast media store once and runs REAL stdlib decoders (PCM WAV
+    / 24-bit BMP) — jpeg/png/mp3 codecs stay behind
+    NotImplementedError. Raw feature rows stay pinned by the decode
+    pytests."""
     import ray
 
     from . import corpus, vocab
@@ -3182,9 +3407,34 @@ def media_features(sf_dir: str):
     store_ref = ray.put(build_media_store(docs_tbl))
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
-    return extract_media_features(docs, concurrency=(1, 2), batch_size=64,
-                                  fake=False, store_ref=store_ref,
-                                  kinds=("image", "audio"))
+    feats = extract_media_features(docs, concurrency=(1, 2), batch_size=64,
+                                   fake=False, store_ref=store_ref,
+                                   kinds=("image", "audio"))
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            batch["feature"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False), np.float64)
+        q = np.rint(vals * 1e4).astype(np.int64)
+        with np.errstate(over="ignore"):
+            s = int(q.view(np.uint64).sum(dtype=np.uint64))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "s": pa.array([s], pa.uint64())})
+
+    n_rows = 0
+    tot = np.uint64(0)
+    for b in feats.map_batches(checksum, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=4096):
+        n_rows += pc.sum(b["n"]).as_py() or 0
+        with np.errstate(over="ignore"):
+            tot += np.uint64(b["s"].to_numpy(zero_copy_only=False)
+                             .sum(dtype=np.uint64))
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "feat_checksum": pa.array(
+            [int(np.array([tot], np.uint64).view(np.int64)[0])],
+            pa.int64()),
+    })
 
 
 @_q(
