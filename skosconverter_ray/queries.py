@@ -1007,15 +1007,17 @@ def graph_pagerank(sf_dir: str):
     """,
 )
 def shipping_priority(sf_dir: str):
-    """Q3 shape, Ray-Data-first: BUILDING custkeys broadcast as an
-    is_in set (customer is dimension-sized), orders date-filtered and
-    semi-filtered in one map; lineitem ship-date-filtered then
-    pre-aggregated to |orders| rows BEFORE the single cogroup join;
-    top-10 via per-block partial top-k + one tiny global sort."""
+    """Q3 shape, Ray-Data-first: orders are semi-filtered to BUILDING
+    customers via Bloom fast-reject (KB-sized bits broadcast, never
+    the key set) + ONE distributed left-semi cogroup verify over the
+    bloom-surviving remainder — no driver-collected custkey set, so
+    the build side can outgrow driver memory; lineitem
+    ship-date-filtered then pre-aggregated to |orders| rows BEFORE the
+    single cogroup join; top-10 via per-block partial top-k + one tiny
+    global sort."""
     import datetime as dt
 
-    import ray
-
+    from .stages.bloom import semi_join_bloom
     from .stages.joinutil import cogroup_join
     from .stages.skew import bucket_aggregate
     from .stages.topk import top_k_per_key
@@ -1023,23 +1025,37 @@ def shipping_priority(sf_dir: str):
     cutoff = pa.scalar(dt.datetime(1995, 3, 15), pa.timestamp("us"))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = set()
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
-        keys.update(t["c_custkey"].to_pylist())
-    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+    n_cust = cust.count()  # parquet-footer metadata, no data read
+    cust_b = cust.map_batches(
+        lambda b: pa.table({"c_custkey": pc.cast(
+            b["c_custkey"].filter(pc.equal(b["c_mktsegment"], "BUILDING")),
+            pa.int64())}),
+        batch_format="pyarrow").materialize()
 
-    def ofilt(batch: pa.Table, _ref=keys_ref) -> pa.Table:
-        ks = ray.get(_ref)
-        mask = pc.and_(pc.less(batch["o_orderdate"], cutoff),
-                       pc.is_in(batch["o_custkey"], value_set=ks))
-        t = batch.filter(mask)
+    def ofilt(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["o_orderdate"], cutoff))
         return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
                          "o_orderdate": t["o_orderdate"]})
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+    orders_f = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(ofilt, batch_format="pyarrow")
+    # Bloom prefilter (verify=None: bits only, ~1% false positives
+    # survive) ...
+    orders_pre = semi_join_bloom(orders_f, cust_b, on="o_custkey",
+                                 small_on="c_custkey",
+                                 n_expected=max(64, n_cust), verify=None)
+    # ... then exact verify as a distributed left-semi cogroup over
+    # the already-date+bloom-reduced remainder
+    orders = cogroup_join(
+        orders_pre, cust_b, left_on="o_custkey", right_on="c_custkey",
+        join_type="left semi", num_buckets=8,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     def lrev(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
@@ -2485,18 +2501,36 @@ def curation_pipeline(sf_dir: str):
     (every doc that is not its text-group's min id — a small set) via
     the hash-keyed cogroup; (2) near-dup cluster members that are not
     their cluster's representative (stages/dedup.neardup_clusters);
-    both broadcast as anti-join sets — duplicates are rare, so the
-    broadcast side is tiny even at corpus scale; (3) a vectorized
-    per-doc quality gate (alpha ratio ≥ 0.5, sane length); (4) one
-    combiner aggregate of surviving docs per language."""
-    import ray
-
-    from .functions.hashing import bucket_of
-    from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
+    both routed through ONE left-anti cogroup join — the loser set
+    never lands on the driver (at corpus scale it grows with the
+    duplicate count, the canonical driver-materialization killer);
+    (3) a vectorized per-doc quality gate (alpha ratio ≥ 0.5, sane
+    length); (4) one combiner aggregate of surviving docs per
+    language. The standalone helper is curation_survivors()."""
     from .stages.skew import bucket_aggregate
 
-    docs = _read(sf_dir, "documents",
-                 ["doc_id", "text", "lang", "n_chars"]).materialize()
+    kept = curation_survivors(
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "lang", "n_chars"]).materialize())
+    out = bucket_aggregate(
+        kept.select_columns(["lang", "tok"]),
+        ["lang"], [("count", None, "n_docs"), ("sum", "tok", "n_tokens")],
+        num_buckets=4)
+    return _collect(out.select_columns(["lang", "n_docs", "n_tokens"]),
+                    pa.schema([("lang", pa.string()),
+                               ("n_docs", pa.int64()),
+                               ("n_tokens", pa.int64())]))
+
+
+def curation_survivors(docs):
+    """Curation core shared by the oracle query and the anti-path
+    pytest: (doc_id, lang, tok) rows of quality-passing docs that are
+    exact-dedup winners AND near-dup cluster representatives. Both
+    loser families stay Datasets end to end and leave through a
+    left-anti cogroup join (joinutil) — nothing corpus-derived is
+    collected on the driver."""
+    from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
+    from .stages.joinutil import cogroup_join
 
     # (1) exact-dup losers: per text-hash group, every id but the min
     hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow") \
@@ -2516,27 +2550,26 @@ def curation_pipeline(sf_dir: str):
         head = np.concatenate(([True], h_s[1:] != h_s[:-1]))
         return pa.table({"doc_id": pa.array(id_s[~head], pa.int64())})
 
-    lose_ids: set = set()
-    for b in (hashed.map_batches(tagb, batch_format="pyarrow")
-              .groupby("_bucket")
-              .map_groups(lambda g: losers(g.drop_columns(["_bucket"])),
-                          batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow", batch_size=65536)):
-        lose_ids.update(b["doc_id"].to_pylist())
+    exact_losers = (hashed.map_batches(tagb, batch_format="pyarrow")
+                    .groupby("_bucket")
+                    .map_groups(lambda g: losers(g.drop_columns(["_bucket"])),
+                                batch_format="pyarrow"))
 
     # (2) near-dup non-representative members
     pairs = minhash_near_dup_pairs(docs, threshold=0.8, num_partitions=8)
-    for b in neardup_clusters(pairs).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
-        for d, r in zip(b["doc_id"].to_pylist(), b["rep_id"].to_pylist()):
-            if d != r:
-                lose_ids.add(d)
+    nd_losers = neardup_clusters(pairs).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(
+            b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"])),
+            pa.int64())}),
+        batch_format="pyarrow")
 
-    drop_ref = ray.put(pa.array(sorted(lose_ids), pa.int64()))
+    # duplicate loser ids across the two families are fine: an anti
+    # join tests presence only. materialize() — the union fans into
+    # the cogroup exchange and must not re-execute the dedup lineage.
+    all_losers = exact_losers.union(nd_losers).materialize()
 
-    # (3) quality gate + (4) per-lang token totals
-    def keep_and_count(batch: pa.Table, _ref=drop_ref) -> pa.Table:
-        drop = ray.get(_ref)
+    # (3) quality gate (vectorized, keeps doc_id for the anti join)
+    def quality(batch: pa.Table) -> pa.Table:
         total = pc.utf8_length(batch["text"])
         stripped = pc.replace_substring_regex(batch["text"],
                                               "[^A-Za-z]", "")
@@ -2545,28 +2578,26 @@ def curation_pipeline(sf_dir: str):
             pc.cast(pc.if_else(pc.equal(total, 0),
                                pa.scalar(None, pa.int32()), total),
                     pa.float64()))
-        mask = pc.and_(
-            pc.and_(pc.greater_equal(ratio, 0.5),
-                    pc.and_(pc.greater_equal(batch["n_chars"], 20),
-                            pc.less_equal(batch["n_chars"], 100000))),
-            pc.invert(pc.is_in(batch["doc_id"], value_set=drop)))
+        mask = pc.and_(pc.greater_equal(ratio, 0.5),
+                       pc.and_(pc.greater_equal(batch["n_chars"], 20),
+                               pc.less_equal(batch["n_chars"], 100000)))
         t = batch.filter(pc.fill_null(mask, False))
         toks = pc.list_value_length(pc.split_pattern_regex(
             pc.utf8_trim_whitespace(t["text"].combine_chunks()
                                     if isinstance(t["text"],
                                                   pa.ChunkedArray)
                                     else t["text"]), r"\s+"))
-        return pa.table({"lang": t["lang"],
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
                          "tok": pc.cast(toks, pa.int64())})
 
-    out = bucket_aggregate(
-        docs.map_batches(keep_and_count, batch_format="pyarrow"),
-        ["lang"], [("count", None, "n_docs"), ("sum", "tok", "n_tokens")],
-        num_buckets=4)
-    return _collect(out.select_columns(["lang", "n_docs", "n_tokens"]),
-                    pa.schema([("lang", pa.string()),
-                               ("n_docs", pa.int64()),
-                               ("n_tokens", pa.int64())]))
+    qual = docs.map_batches(quality, batch_format="pyarrow")
+    return cogroup_join(
+        qual, all_losers, left_on="doc_id", right_on="doc_id",
+        join_type="left anti", num_buckets=8,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string()),
+                               ("tok", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------

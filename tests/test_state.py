@@ -143,3 +143,26 @@ def test_bucket_aggregate_string_bucket_key(ray_session):
             .aggregate(Sum("v", alias_name="s"))).take_all()
     key = lambda r: r["k"]
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_manifest_refuses_mismatched_partitioner(tmp_path):
+    """Round-4 format bump: manifest rows stamp the partition hasher;
+    resuming under a different partitioner (including the pre-bump
+    crc32 manifests, which carry no hasher field) must fail loudly —
+    a silent mix would route rows of a done partition into an
+    unfinished one."""
+    out = str(tmp_path / "graph")
+    mani = Manifest(out, "graph")
+    # a legacy (crc32-era) record: no "hasher" field
+    with open(mani.path, "a") as f:
+        f.write(json.dumps({
+            "partition_id": 0, "stage": "graph", "row_count": 10,
+            "input_lineage": "old", "status": "done", "wall_s": 0.1,
+        }) + "\n")
+    with pytest.raises(ValueError, match="partitioner"):
+        mani.done_partitions()
+    # same-build records round-trip fine
+    out2 = str(tmp_path / "graph2")
+    mani2 = Manifest(out2, "graph")
+    mani2.record(3, 10, "new", "done", 0.1)
+    assert mani2.done_partitions() == {3}
