@@ -124,64 +124,101 @@ class _CCShard:
                  preferred_ns: str | None):
         self.b, self.B, self.ns = bucket, n_buckets, preferred_ns
 
-    def _rank(self, uri: str) -> str:
-        if self.ns and uri.startswith(self.ns):
-            return "0|" + uri
-        return "1|" + uri
+    def _rank_arr(self, arr: pa.Array) -> pa.Array:
+        """Vectorized rank prefix: "0|uri" for the preferred namespace,
+        "1|uri" otherwise (string order == (rank, uri) order)."""
+        if self.ns:
+            pref = pc.if_else(pc.starts_with(arr, self.ns),
+                              pa.scalar("0|"), pa.scalar("1|"))
+        else:
+            pref = pa.array(["1|"] * len(arr), pa.string())
+        return pc.binary_join_element_wise(pref, arr, pa.scalar(""))
 
     def load(self, edge_refs) -> int:
+        """Arrow/numpy shard state (round-4 rewrite of the dict-of-
+        tuple-lists loader, which held ~5-10x the Arrow footprint and
+        loaded single-threaded): one sort of the edge table into CSR
+        adjacency — object-dtype numpy views share the PyStr objects,
+        no per-edge tuples/lists. Peer routing buckets are hashed on
+        the SAME flattened (CSR) order they are emitted in."""
         import ray
 
         from ..functions.hashing import bucket_of
 
-        adj: dict[str, list] = {}
-        for t in ray.get(list(edge_refs)):
-            if not t.num_rows:
-                continue
-            for n, p in zip(t["node"].to_pylist(), t["peer"].to_pylist()):
-                adj.setdefault(n, []).append(p)
-        self.nodes = sorted(adj)
-        self.idx = {u: i for i, u in enumerate(self.nodes)}
-        # peer routing buckets, hashed in the SAME flattened order the
-        # adjacency is built in (sorted nodes, then that node's peers)
-        peers_flat = [p for u in self.nodes for p in adj[u]]
-        pb = bucket_of(pa.array(peers_flat, pa.string()), self.B) \
-            .to_pylist() if peers_flat else []
-        pos = 0
-        self.adj = []
-        for u in self.nodes:
-            ps = adj[u]
-            self.adj.append(list(zip(ps, pb[pos:pos + len(ps)])))
-            pos += len(ps)
-        # seed: min(rank(self), rank(peers)) — local, no exchange
-        self.label = [
-            min([self._rank(u)] + [self._rank(p) for p, _ in self.adj[i]])
-            for i, u in enumerate(self.nodes)]
-        self.changed = list(range(len(self.nodes)))
-        return len(self.nodes)
+        tbls = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        t = pa.concat_tables(tbls) if tbls else pa.table(
+            {"node": pa.array([], pa.string()),
+             "peer": pa.array([], pa.string())})
+        node = t["node"].combine_chunks()
+        order = pc.sort_indices(node)
+        node_s = node.take(order)
+        peer_s = t["peer"].combine_chunks().take(order)
+        node_np = node_s.to_numpy(zero_copy_only=False)
+        self.nodes_np, starts = np.unique(node_np, return_index=True)
+        n = len(self.nodes_np)
+        self.nodes = pa.array(self.nodes_np, pa.string())
+        self.off = np.append(starts.astype(np.int64), len(node_np))
+        self.peers = peer_s.to_numpy(zero_copy_only=False)
+        self.peer_bk = (bucket_of(peer_s, self.B)
+                        .to_numpy(zero_copy_only=False)
+                        if len(self.peers) else np.empty(0, np.int32))
+        # seed: min(rank(self), min rank(peer)) per CSR segment —
+        # segments are non-empty by construction (nodes come from edges)
+        self_rank = self._rank_arr(self.nodes) \
+            .to_numpy(zero_copy_only=False)
+        if n:
+            peer_rank = self._rank_arr(peer_s) \
+                .to_numpy(zero_copy_only=False)
+            seg_min = np.minimum.reduceat(peer_rank, self.off[:-1])
+            self.label = np.minimum(self_rank, seg_min)
+        else:
+            self.label = self_rank
+        self.changed = np.arange(n, dtype=np.int64)
+        return n
 
     def emit(self):
         import ray
 
         from ..functions.hashing import bucket_of
 
-        msgs: list[list] = [[] for _ in range(self.B)]
-        for i in self.changed:
-            lab = self.label[i]
-            for p, pbk in self.adj[i]:
-                msgs[pbk].append((p, lab))
-        self.changed = []
+        msgs = [None] * self.B
+        ch = self.changed
+        cnt = self.off[ch + 1] - self.off[ch] if ch.size else \
+            np.empty(0, np.int64)
+        total = int(cnt.sum()) if ch.size else 0
+        if total:
+            # CSR expansion: flat edge indices of every changed node
+            idx = (np.repeat(self.off[ch], cnt)
+                   + np.arange(total)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            dsts = self.peers[idx]
+            labs = np.repeat(self.label[ch], cnt)
+            bks = self.peer_bk[idx]
+            for b in range(self.B):
+                sel = np.where(bks == b)[0]
+                if not sel.size:
+                    continue
+                d, l = dsts[sel], labs[sel]
+                # pre-aggregate min label per dst before shipping
+                o = np.lexsort((l, d))
+                uniq, st = np.unique(d[o], return_index=True)
+                msgs[b] = ray.put(pa.table({
+                    "node": pa.array(uniq, pa.string()),
+                    "cand": pa.array(l[o][st], pa.string())}))
+        self.changed = np.empty(0, np.int64)
         # jump requests: one per DISTINCT label, routed to the label's
         # owner shard; answers broadcast back to every local holder
-        uniq = sorted(set(self.label))
-        reqs: list[list] = [[] for _ in range(self.B)]
-        if uniq:
-            tb = bucket_of(pa.array([l[2:] for l in uniq], pa.string()),
-                           self.B).to_pylist()
-            for lab, t in zip(uniq, tb):
-                reqs[t].append(lab)
-        return ([ray.put(m) if m else None for m in msgs],
-                [ray.put(r) if r else None for r in reqs])
+        reqs = [None] * self.B
+        uniq_lab = np.unique(self.label)
+        if uniq_lab.size:
+            lab_pa = pa.array(uniq_lab, pa.string())
+            tb = bucket_of(pc.utf8_slice_codeunits(lab_pa, 2), self.B) \
+                .to_numpy(zero_copy_only=False)
+            for b in range(self.B):
+                sel = np.where(tb == b)[0]
+                if sel.size:
+                    reqs[b] = ray.put(pa.array(uniq_lab[sel], pa.string()))
+        return msgs, reqs
 
     def serve(self, req_refs):
         import ray
@@ -190,49 +227,71 @@ class _CCShard:
         # anonymous), so ONE (lab -> label(lab)) table is put once and
         # its ref broadcast to every shard — one row per distinct
         # label per round
-        pairs = []
-        for labs in ray.get(list(req_refs)):
-            for lab in labs:
-                i = self.idx.get(lab[2:])
-                if i is not None:
-                    pairs.append((lab, self.label[i]))
-        if not pairs:
+        parts = [np.asarray(a.to_numpy(zero_copy_only=False))
+                 for a in ray.get(list(req_refs))]
+        labs = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, object)
+        if not labs.size:
             return [None] * self.B
-        ref = ray.put(pairs)
+        lab_pa = pa.array(labs, pa.string())
+        iv = pc.index_in(pc.utf8_slice_codeunits(lab_pa, 2),
+                         value_set=self.nodes)
+        valid = pc.is_valid(iv).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return [None] * self.B
+        ivn = iv.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        ref = ray.put(pa.table({
+            "lab": pa.array(labs[valid], pa.string()),
+            "lab2": pa.array(self.label[ivn], pa.string())}))
         return [ref] * self.B
 
     def apply(self, msg_refs, ans_refs) -> int:
         import ray
 
-        changed = set()
-        for rows in ray.get(list(msg_refs)):
-            for node, cand in rows:
-                i = self.idx.get(node)
-                if i is not None and cand < self.label[i]:
-                    self.label[i] = cand
-                    changed.add(i)
-        jump = {}
-        for rows in ray.get(list(ans_refs)):
-            for lab, lab2 in rows:
-                if lab2 < jump.get(lab, lab):
-                    jump[lab] = lab2
-        for i, lab in enumerate(self.label):
-            better = jump.get(lab)
-            if better is not None and better < lab:
-                self.label[i] = better
-                changed.add(i)
-        self.changed = sorted(changed)
-        return len(changed)
+        n = len(self.nodes_np)
+        changed = np.zeros(n, bool)
+        for tbl in ray.get(list(msg_refs)):
+            iv = pc.index_in(tbl["node"].combine_chunks(),
+                             value_set=self.nodes)
+            ivn = iv.to_numpy(zero_copy_only=False)
+            valid = pc.is_valid(iv).to_numpy(zero_copy_only=False)
+            cand = tbl["cand"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            sel = np.where(valid)[0]
+            ii = ivn[sel].astype(np.int64)
+            take = cand[sel] < self.label[ii]
+            self.label[ii[take]] = cand[sel][take]
+            changed[ii[take]] = True
+        # pointer jumping: label -> min label(label) over all answers
+        la_parts, l2_parts = [], []
+        for tbl in ray.get(list(ans_refs)):
+            la_parts.append(tbl["lab"].combine_chunks()
+                            .to_numpy(zero_copy_only=False))
+            l2_parts.append(tbl["lab2"].combine_chunks()
+                            .to_numpy(zero_copy_only=False))
+        if la_parts:
+            la = np.concatenate(la_parts)
+            l2 = np.concatenate(l2_parts)
+            o = np.lexsort((l2, la))
+            u, st = np.unique(la[o], return_index=True)
+            best = l2[o][st]
+            pos = np.searchsorted(u, self.label)
+            inb = pos < len(u)
+            hit = np.where(inb)[0]
+            hit = hit[u[pos[hit]] == self.label[hit]]
+            cand = best[pos[hit]]
+            upd = cand < self.label[hit]
+            self.label[hit[upd]] = cand[upd]
+            changed[hit[upd]] = True
+        self.changed = np.where(changed)[0].astype(np.int64)
+        return int(changed.sum())
 
     def result(self) -> pa.Table:
-        uris, canon = [], []
-        for u, lab in zip(self.nodes, self.label):
-            c = lab[2:]
-            if c != u:
-                uris.append(u)
-                canon.append(c)
-        return pa.table({"uri": pa.array(uris, pa.string()),
-                         "canonical_uri": pa.array(canon, pa.string())})
+        lab_pa = pa.array(self.label, pa.string())
+        canon = pc.utf8_slice_codeunits(lab_pa, 2)
+        keep = pc.not_equal(canon, self.nodes)
+        return pa.table({"uri": self.nodes.filter(keep),
+                         "canonical_uri": canon.filter(keep)})
 
 
 def _components_actors(edges, *, max_rounds: int, preferred_ns,

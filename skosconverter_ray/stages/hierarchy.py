@@ -25,6 +25,7 @@ containers render after regular subtrees, [UNASSIGNED CONCEPTS] last
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -257,92 +258,175 @@ class _TreeShard:
     incoming candidates (strict ``<`` keeps the incumbent on ties) and
     returns the improved count for the driver's termination fold."""
 
-    _FIELDS = ("path", "level", "parent_title", "scheme_label",
-               "label", "depth")
-
     def __init__(self, bucket: int, n_buckets: int):
         self.b, self.B = bucket, n_buckets
 
     def load(self, node_refs, root_refs, edge_refs) -> int:
+        """Arrow/numpy shard state (round-4 rewrite of the
+        dict-of-tuple-lists loader — per-node Python tuples held
+        ~5-10x the Arrow footprint and loaded single-threaded):
+        parallel object/int arrays for the 6 state fields, CSR
+        adjacency from one sort of the edge table. Child routing
+        buckets are hashed on the SAME flattened (CSR) order they are
+        emitted in."""
         import ray
 
         from ..functions.hashing import bucket_of
 
-        uris: list[str] = []
-        for t in ray.get(list(node_refs)):
-            if t.num_rows:
-                uris.extend(t["uri"].to_pylist())
-        uris = sorted(set(uris))
-        self.uris = uris
-        self.idx = {u: i for i, u in enumerate(uris)}
-        n = len(uris)
-        self.st: list = [None] * n        # (path, level, ptitle,
-        self.frontier: list[int] = []     #  slabel, label, depth)
+        ntbls = [t for t in ray.get(list(node_refs)) if t.num_rows]
+        nodes = (pa.concat_tables(ntbls)["uri"].combine_chunks()
+                 if ntbls else pa.array([], pa.string()))
+        self.nodes_np = np.unique(nodes.to_numpy(zero_copy_only=False))
+        self.nodes = pa.array(self.nodes_np, pa.string())
+        n = len(self.nodes_np)
+        # state: parallel arrays; unplaced nodes have path None
+        self.path = np.full(n, None, object)
+        self.level = np.zeros(n, np.int32)
+        self.ptitle = np.full(n, None, object)
+        self.slabel = np.full(n, None, object)
+        self.label = np.full(n, None, object)
+        self.depth = np.zeros(n, np.int32)
+        self.frontier = np.empty(0, np.int64)
 
-        for t in ray.get(list(root_refs)):
-            for row in t.to_pylist():
-                i = self.idx[row["uri"]]
-                cand = (row["path"], row["level"], row["parent_title"],
-                        row["scheme_label"], row["label"], row["depth"])
-                if self.st[i] is None or cand[0] < self.st[i][0]:
-                    if self.st[i] is None:
-                        self.frontier.append(i)
-                    self.st[i] = cand
+        rtbls = [t for t in ray.get(list(root_refs)) if t.num_rows]
+        if rtbls:
+            r = pa.concat_tables(rtbls)
+            self._merge(r["uri"].combine_chunks(),
+                        r["path"].combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        r["level"].to_numpy(zero_copy_only=False),
+                        r["parent_title"].combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        r["scheme_label"].combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        r["label"].combine_chunks()
+                        .to_numpy(zero_copy_only=False),
+                        r["depth"].to_numpy(zero_copy_only=False))
 
-        self.edges: dict[int, list] = {}
-        for t in ray.get(list(edge_refs)):
-            if not t.num_rows:
-                continue
-            cbk = bucket_of(t["uri"].combine_chunks(), self.B) \
-                .to_pylist()
-            for row, cb in zip(t.to_pylist(), cbk):
-                pi = self.idx.get(row["parent"])
-                if pi is None:
-                    continue  # parent is not a concept (skeleton gap)
-                self.edges.setdefault(pi, []).append(
-                    (row["uri"], row["seg"], row["c_label"], cb))
+        etbls = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        e = (pa.concat_tables(etbls) if etbls
+             else pa.table({"uri": pa.array([], pa.string()),
+                            "seg": pa.array([], pa.string()),
+                            "c_label": pa.array([], pa.string()),
+                            "parent": pa.array([], pa.string())}))
+        piv = pc.index_in(e["parent"].combine_chunks(),
+                          value_set=self.nodes)
+        local = pc.is_valid(piv)  # parent not a concept = skeleton gap
+        e = e.filter(local)
+        pidx = piv.filter(local).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if e.num_rows else np.empty(0, np.int64)
+        order = np.argsort(pidx, kind="stable")
+        child_s = e["uri"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        self.e_child = child_s.to_numpy(zero_copy_only=False)
+        self.e_seg = e["seg"].combine_chunks().take(
+            pa.array(order, pa.int64())).to_numpy(zero_copy_only=False)
+        self.e_clabel = e["c_label"].combine_chunks().take(
+            pa.array(order, pa.int64())).to_numpy(zero_copy_only=False)
+        self.e_cbk = (bucket_of(child_s, self.B)
+                      .to_numpy(zero_copy_only=False)
+                      if len(self.e_child) else np.empty(0, np.int32))
+        self.off = np.searchsorted(pidx[order], np.arange(n + 1))
         return n
+
+    def _merge(self, uri_pa: pa.Array, path, level, ptitle, slabel,
+               label, depth) -> int:
+        """Vectorized min-merge of candidate rows into the state
+        arrays (strict < keeps the incumbent on equal paths); extends
+        the frontier and returns the improved count."""
+        iv = pc.index_in(uri_pa, value_set=self.nodes)
+        ii = iv.to_numpy(zero_copy_only=False).astype(np.int64)
+        # duplicate candidate uris within one wave: keep the min path
+        # (lexsort by (path, idx), first row per idx wins)
+        o = np.lexsort((path, ii))
+        ii_u, st = np.unique(ii[o], return_index=True)
+        sel = o[st]
+        cand_path = path[sel]
+        cur = self.path[ii_u]
+        placed = np.not_equal(cur, None)
+        take = ~placed
+        if placed.any():
+            better = np.zeros(len(ii_u), bool)
+            better[placed] = cand_path[placed] < cur[placed]
+            take |= better
+        tgt = ii_u[take]
+        src = sel[take]
+        self.path[tgt] = path[src]
+        self.level[tgt] = level[src]
+        self.ptitle[tgt] = ptitle[src]
+        self.slabel[tgt] = slabel[src]
+        self.label[tgt] = label[src]
+        self.depth[tgt] = depth[src]
+        self.frontier = np.unique(np.concatenate((self.frontier, tgt)))
+        return int(take.sum())
 
     def emit(self):
         import ray
 
-        msgs: list[list] = [[] for _ in range(self.B)]
-        for i in self.frontier:
-            st = self.st[i]
-            for child, seg, c_label, cb in self.edges.get(i, ()):
-                msgs[cb].append((child, st[0] + seg, st[1] + 1,
-                                 st[4], st[3], c_label, st[5] + 1))
-        self.frontier = []
-        return [ray.put(m) if m else None for m in msgs]
+        msgs = [None] * self.B
+        ch = self.frontier
+        self.frontier = np.empty(0, np.int64)
+        if not ch.size:
+            return msgs
+        cnt = self.off[ch + 1] - self.off[ch]
+        total = int(cnt.sum())
+        if not total:
+            return msgs
+        # CSR expansion of every out-edge of the frontier
+        idx = (np.repeat(self.off[ch], cnt)
+               + np.arange(total)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        new_path = np.repeat(self.path[ch], cnt) + self.e_seg[idx]
+        new_level = np.repeat(self.level[ch] + 1, cnt)
+        new_ptitle = np.repeat(self.label[ch], cnt)
+        new_slabel = np.repeat(self.slabel[ch], cnt)
+        new_depth = np.repeat(self.depth[ch] + 1, cnt)
+        bks = self.e_cbk[idx]
+        for b in range(self.B):
+            sel = np.where(bks == b)[0]
+            if not sel.size:
+                continue
+            msgs[b] = ray.put(pa.table({
+                "uri": pa.array(self.e_child[idx[sel]], pa.string()),
+                "path": pa.array(new_path[sel], pa.string()),
+                "level": pa.array(new_level[sel], pa.int32()),
+                "parent_title": pa.array(new_ptitle[sel], pa.string()),
+                "scheme_label": pa.array(new_slabel[sel], pa.string()),
+                "label": pa.array(self.e_clabel[idx[sel]], pa.string()),
+                "depth": pa.array(new_depth[sel], pa.int32()),
+            }))
+        return msgs
 
     def apply(self, msg_refs) -> int:
         import ray
 
         improved = 0
-        for rows in ray.get(list(msg_refs)):
-            for child, path, level, ptitle, slabel, label, depth in rows:
-                i = self.idx[child]
-                cur = self.st[i]
-                if cur is None or path < cur[0]:
-                    self.st[i] = (path, level, ptitle, slabel, label,
-                                  depth)
-                    self.frontier.append(i)
-                    improved += 1
+        for t in ray.get(list(msg_refs)):
+            improved += self._merge(
+                t["uri"].combine_chunks(),
+                t["path"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                t["level"].to_numpy(zero_copy_only=False),
+                t["parent_title"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                t["scheme_label"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                t["label"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                t["depth"].to_numpy(zero_copy_only=False))
         return improved
 
     def result(self) -> pa.Table:
-        placed = [(u, *st) for u, st in zip(self.uris, self.st)
-                  if st is not None]
+        placed = np.not_equal(self.path, None)
+        sel = np.where(placed)[0]
         return pa.table({
-            "uri": pa.array([p[0] for p in placed], pa.string()),
-            "path": pa.array([p[1] for p in placed], pa.string()),
-            "level": pa.array([p[2] for p in placed], pa.int32()),
-            "parent_title": pa.array([p[3] for p in placed],
-                                     pa.string()),
-            "scheme_label": pa.array([p[4] for p in placed],
-                                     pa.string()),
-            "label": pa.array([p[5] for p in placed], pa.string()),
-            "depth": pa.array([p[6] for p in placed], pa.int32()),
+            "uri": pa.array(self.nodes_np[sel], pa.string()),
+            "path": pa.array(self.path[sel], pa.string()),
+            "level": pa.array(self.level[sel], pa.int32()),
+            "parent_title": pa.array(self.ptitle[sel], pa.string()),
+            "scheme_label": pa.array(self.slabel[sel], pa.string()),
+            "label": pa.array(self.label[sel], pa.string()),
+            "depth": pa.array(self.depth[sel], pa.int32()),
         })
 
 

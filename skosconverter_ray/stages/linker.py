@@ -35,7 +35,6 @@ _LABEL_KIND = {
 # precedence when one surface maps to several (uri, kind) entries:
 # pref > alt > hidden, then lexicographic uri (deterministic, D5-style)
 _KIND_RANK = {"pref": 0, "alt": 1, "hidden": 2}
-_KIND_SCORE = {"pref": 1.0, "alt": 0.8, "hidden": 0.6}
 
 
 def build_label_index(vocab_triples: pa.Table) -> dict[str, tuple[str, str]]:
@@ -156,6 +155,12 @@ class LinkerStage:
         # automaton build is O(total label tokens), once per actor /
         # worker process — the per-batch path never rebuilds it
         self.ac = _TokenAC(index)
+        # T3 stateful scorer: the trained numpy-MLP artifact loads
+        # ONCE here (the model-load-per-actor slot); per batch it is
+        # one matmul over the candidate feature matrix
+        from ..models import MentionScorer
+
+        self.scorer = MentionScorer()
         self._resolved = True
 
     def __getstate__(self):
@@ -171,11 +176,11 @@ class LinkerStage:
         a left-to-right walk consumes matched tokens."""
         norm = normalize_surface(text)
         if not norm:
-            return []
+            return [], 0
         tokens = norm.split(" ")
         best = self.ac.scan_best(tokens)
         if not best:
-            return []
+            return [], len(norm)
         patterns = self.ac.patterns
         out = []
         i, n = 0, len(tokens)
@@ -187,7 +192,7 @@ class LinkerStage:
             surface, uri, kind, ln = patterns[pid]
             out.append((surface, uri, kind))
             i += ln
-        return out
+        return out, len(norm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self._resolved:
@@ -195,21 +200,25 @@ class LinkerStage:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         rows = {"doc_id": [], "span_idx": [], "surface": [],
-                "concept_uri": [], "label_kind": [], "score": []}
+                "concept_uri": [], "label_kind": [], "span_len": []}
         for doc_id, spans in zip(doc_ids, spans_col):
             for si, span in enumerate(spans or []):
                 text = span["text"]
                 if not text:
                     continue
-                for surface, uri, kind in self._match_span(text):
+                matches, norm_len = self._match_span(text)
+                for surface, uri, kind in matches:
                     rows["doc_id"].append(doc_id)
                     rows["span_idx"].append(si)
                     rows["surface"].append(surface)
                     rows["concept_uri"].append(uri)
                     rows["label_kind"].append(kind)
-                    rows["score"].append(_KIND_SCORE[kind])
+                    rows["span_len"].append(norm_len)
         from .. import schemas
+        from ..models import mention_features
 
+        scores = self.scorer.predict(mention_features(
+            rows["label_kind"], rows["surface"], rows["span_len"]))
         return pa.table(
             {
                 "doc_id": pa.array(rows["doc_id"], pa.string()),
@@ -217,7 +226,7 @@ class LinkerStage:
                 "surface": pa.array(rows["surface"], pa.string()),
                 "concept_uri": pa.array(rows["concept_uri"], pa.string()),
                 "label_kind": pa.array(rows["label_kind"], pa.string()),
-                "score": pa.array(rows["score"], pa.float32()),
+                "score": pa.array(scores, pa.float32()),
             },
             schema=schemas.MENTIONS,
         )

@@ -15,7 +15,7 @@ from skosconverter_ray.stages.linker import LinkerStage
 def _matches(index: dict, text: str):
     st = LinkerStage(index)
     st._resolve()
-    return st._match_span(text)
+    return st._match_span(text)[0]
 
 
 def test_longest_match_wins():
@@ -60,3 +60,48 @@ def test_empty_and_no_match():
 def test_normalization_applied():
     idx = {"big apple": ("uri:ba", "pref")}
     assert _matches(idx, "  BIG\t\tApple  ") == [("big apple", "uri:ba", "pref")]
+
+
+def test_mention_scorer_artifact():
+    """T3 stateful scorer: the committed numpy-MLP artifact loads,
+    scores are calibrated probabilities, and true-mention-shaped
+    candidates outscore random non-label windows (the discrimination
+    the trainer reports ~0.81 AUC for)."""
+    import numpy as np
+
+    from skosconverter_ray.models import MentionScorer, mention_features
+
+    sc = MentionScorer()
+    # true-shaped: multi-token pref label covering a chunk of its span
+    pos = mention_features(["pref", "alt"],
+                           ["data lake", "feature store"],
+                           [40, 50])
+    # negative-shaped: 1-token fragment lost in a long span
+    neg = mention_features(["hidden", "hidden"],
+                           ["of", "x"],
+                           [200, 250])
+    sp, sn = sc.predict(pos), sc.predict(neg)
+    assert ((0 < sp) & (sp < 1)).all() and ((0 < sn) & (sn < 1)).all()
+    assert float(sp.mean()) > float(sn.mean())
+    assert sc.predict(np.zeros((0, 6))).shape == (0,)
+
+
+def test_linker_stage_scores_from_model():
+    """The stage's score column comes from the scorer (one value per
+    mention, in (0,1)), and the mention tuples are unchanged."""
+    import pyarrow as pa
+
+    from skosconverter_ray import schemas
+
+    idx = {"new york": ("uri:ny", "pref"), "z": ("uri:z", "hidden")}
+    st = LinkerStage(idx)
+    batch = pa.table({
+        "doc_id": pa.array(["d1"], pa.string()),
+        "spans": pa.array([[{"kind": "text", "text": "in New York z",
+                             "media_ref": "", "offset": 0}]],
+                          pa.list_(schemas.SPAN_STRUCT)),
+    }, schema=schemas.DOCUMENTS)
+    out = st(batch)
+    assert out["concept_uri"].to_pylist() == ["uri:ny", "uri:z"]
+    s = out["score"].to_pylist()
+    assert all(0 < v < 1 for v in s)
