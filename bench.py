@@ -51,6 +51,13 @@ HEADLINE = [
     "doc_unigram_surprisal",
     "doc_pack_sequences",
     "doc_repetition_signals",
+    # round 4 additions (previously un-benched pipelines can regress
+    # silently — exactly what BENCH caught for doc_dedup_exact in r2)
+    "graph_pagerank",
+    "skos_tree_order_distributed",
+    "doc_bigram_lm",
+    "media_thumbnails",
+    "curation_pipeline",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
@@ -98,14 +105,22 @@ def run_headline() -> None:
     _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8) \
         .map_batches(_warm, batch_size=1).count()
 
-    # flagship_graph's registered query wraps the pipeline in its
-    # oracle-row verification (P/R mini-run + closure fixpoint count);
-    # the bench times the PIPELINE itself, like-for-like with prior
-    # rounds, via the shared helper
-    from skosconverter_ray.queries import _flagship_graph_outputs
+    # Some registered queries wrap their pipeline in oracle-row
+    # verification passes (flagship: P/R mini-run + closure fixpoint
+    # count; pagerank: a second engine + distributed compare; tree
+    # order: a driver-DFS parity recomputation). The bench times the
+    # PIPELINE itself, like-for-like with prior rounds, via shared
+    # helpers.
+    from skosconverter_ray.queries import (
+        _flagship_graph_outputs,
+        _pagerank_actor_ranks,
+        _tree_order_distributed_rows,
+    )
 
     overrides = {
         "flagship_graph": lambda sf: _flagship_graph_outputs(sf)["graph"],
+        "graph_pagerank": _pagerank_actor_ranks,
+        "skos_tree_order_distributed": _tree_order_distributed_rows,
     }
 
     per_query: dict[str, float] = {}

@@ -909,6 +909,50 @@ def doc_dedup_minhash(sf_dir: str):
 # is pinned against a sequential dense oracle in tests/test_graph.py)
 # ---------------------------------------------------------------------------
 
+def _pagerank_edges(sf_dir: str):
+    """Bipartite supplier->part string edge Dataset from lineitem
+    (shared by the graph_pagerank oracle row and bench.py, which times
+    the actor-engine pipeline alone via _pagerank_actor_ranks)."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["s"] * batch.num_rows),
+                pc.cast(batch["l_suppkey"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["p"] * batch.num_rows),
+                pc.cast(batch["l_partkey"], pa.string()), ""),
+        })
+
+    return li.map_batches(edges, batch_format="pyarrow").materialize()
+
+
+def _pagerank_actor_ranks(sf_dir: str):
+    """Pregel shard-actor PageRank over the lineitem graph (bench
+    entry: the distributed engine, forced past the driver gate)."""
+    from .stages.graph import pagerank
+
+    return pagerank(_pagerank_edges(sf_dir), n_iter=5, num_buckets=16,
+                    max_driver_edges=0, engine="actors")
+
+
+def _tree_order_distributed_rows(sf_dir: str):
+    """Distributed DFS-preorder alone (bench entry: the shard-actor
+    orderer without the driver-DFS parity recomputation)."""
+    import ray.data as rd
+
+    from . import vocab
+    from .stages.hierarchy import build_tree_rows_distributed
+    from .stages.triples import dedup_triples, inverse_consistency
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=3, n_concepts=120,
+                                               seed=42))
+    closed = inverse_consistency(
+        dedup_triples(rd.from_arrow(voc.triples))).materialize()
+    return build_tree_rows_distributed(closed)
+
+
 @_q(
     "graph_pagerank",
     """
@@ -930,19 +974,7 @@ def graph_pagerank(sf_dir: str):
     from .stages.graph import pagerank
     from .stages.joinutil import cogroup_join
 
-    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pc.binary_join_element_wise(
-                pa.array(["s"] * batch.num_rows),
-                pc.cast(batch["l_suppkey"], pa.string()), ""),
-            "dst": pc.binary_join_element_wise(
-                pa.array(["p"] * batch.num_rows),
-                pc.cast(batch["l_partkey"], pa.string()), ""),
-        })
-
-    edge_ds = li.map_batches(edges, batch_format="pyarrow").materialize()
+    edge_ds = _pagerank_edges(sf_dir)
 
     # driver numpy engine (the ≤4M-edge fast path)...
     driver = pagerank(edge_ds, n_iter=5, num_buckets=16).materialize()

@@ -102,31 +102,37 @@ class _PRShard:
         self.b, self.B, self.d = bucket, n_buckets, damping
 
     def load(self, node_refs, edge_refs, n_nodes: int) -> int:
+        """Node shards hash by node and edge shards by src with the
+        SAME hash, so every node's out-edges co-locate with its rank —
+        out-degree, per-edge 1/deg and the dangling flag are all LOCAL
+        (round 4: this replaced a deg aggregate + two cogroup joins of
+        driver-side setup — 3 of the 4 pre-actor exchanges)."""
         import ray
 
         from ..functions.hashing import bucket_of
 
         ntbls = [t for t in ray.get(list(node_refs)) if t.num_rows]
         nodes = (pa.concat_tables(ntbls) if ntbls
-                 else pa.table({"node": pa.array([], pa.string()),
-                                "dang": pa.array([], pa.int8())}))
+                 else pa.table({"node": pa.array([], pa.string())}))
         self.nodes = nodes["node"].combine_chunks()
-        self.dang = nodes["dang"].to_numpy(zero_copy_only=False) \
-            .astype(bool)
-        self.rank = np.full(len(self.nodes), 1.0 / max(1, n_nodes))
+        n = len(self.nodes)
+        self.rank = np.full(n, 1.0 / max(1, n_nodes))
 
         etbls = [t for t in ray.get(list(edge_refs)) if t.num_rows]
         edges = (pa.concat_tables(etbls) if etbls
                  else pa.table({"src": pa.array([], pa.string()),
-                                "dst": pa.array([], pa.string()),
-                                "inv_deg": pa.array([], pa.float64())}))
+                                "dst": pa.array([], pa.string())}))
         src_idx = pc.index_in(edges["src"].combine_chunks(),
                               value_set=self.nodes)
         if edges.num_rows and pc.any(pc.is_null(src_idx)).as_py():
             raise AssertionError("edge src outside its rank shard")
         self.src_idx = src_idx.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        self.inv_deg = edges["inv_deg"].to_numpy(zero_copy_only=False)
+        deg = np.bincount(self.src_idx, minlength=n) if n else \
+            np.zeros(0, np.int64)
+        self.dang = deg == 0
+        self.inv_deg = 1.0 / np.maximum(deg[self.src_idx], 1) \
+            if len(self.src_idx) else np.empty(0, np.float64)
         dst = edges["dst"].combine_chunks()
         dst_np = np.asarray(dst.to_pylist(), dtype=object)
         dbk = bucket_of(dst, self.B).to_numpy(zero_copy_only=False) \
@@ -181,7 +187,7 @@ class _PRShard:
                          "rank": pa.array(self.rank, pa.float64())})
 
 
-def _pagerank_actors(norm, edges, flagged, n_nodes: int, *,
+def _pagerank_actors(norm, nodes, n_nodes: int, *,
                      damping: float, n_iter: int, tol: float | None,
                      num_shards: int):
     """Actor-sharded power iteration (the >driver-gate engine).
@@ -200,21 +206,12 @@ def _pagerank_actors(norm, edges, flagged, n_nodes: int, *,
 
     B = num_shards
 
-    ranks_schema = pa.schema([("node", pa.string()), ("dang", pa.int8())])
-
-    def init_rank(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": batch["node"],
-            "dang": pc.cast(pc.is_null(batch["deg"]), pa.int8()),
-        }, schema=ranks_schema)
-
-    node_init = flagged.map_batches(init_rank, batch_format="pyarrow") \
-        .materialize()
-
     # splits before actor creation + zero-CPU actors: reserving
-    # B x num_cpus would starve the split tasks (actor-pool live-lock)
-    edge_cols = split_dataset_by_bucket(edges, "src", B)
-    node_cols = split_dataset_by_bucket(node_init, "node", B)
+    # B x num_cpus would starve the split tasks (actor-pool live-lock).
+    # Raw (src, dst) edges split by src; deg/inv_deg/dangling are
+    # derived locally in each shard's load (same hash on both splits).
+    edge_cols = split_dataset_by_bucket(norm, "src", B)
+    node_cols = split_dataset_by_bucket(nodes, "node", B)
 
     Shard = ray.remote(num_cpus=0)(_PRShard)
     shards = [Shard.remote(b, B, damping) for b in range(B)]
@@ -296,6 +293,16 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         num_buckets=num_buckets).drop_columns(["_n"]).materialize()
     n_nodes = nodes.count()
 
+    if engine in ("auto", "actors"):
+        # the shard actors compute out-degree / inv_deg / dangling
+        # LOCALLY (node and edge shards share the hash), so none of
+        # the deg/edges/flagged exchanges below are needed — setup is
+        # ONE distinct-nodes aggregate plus the two splits
+        return _pagerank_actors(
+            norm, nodes, n_nodes, damping=damping,
+            n_iter=n_iter, tol=tol,
+            num_shards=max(2, min(num_buckets, 8)))
+
     deg = bucket_aggregate(
         norm.select_columns(["src"]).map_batches(
             lambda b: pa.table({"node": b["src"]}),
@@ -331,12 +338,6 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         left_schema=pa.schema([("node", pa.string())]),
         right_schema=pa.schema([("dnode", pa.string()),
                                 ("deg", pa.int64())]))
-
-    if engine in ("auto", "actors"):
-        return _pagerank_actors(
-            norm, edges, flagged, n_nodes, damping=damping,
-            n_iter=n_iter, tol=tol,
-            num_shards=max(2, min(num_buckets, 8)))
 
     r0 = 1.0 / n_nodes
     ranks_schema = pa.schema([("node", pa.string()),
