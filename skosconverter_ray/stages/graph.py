@@ -101,29 +101,35 @@ class _PRShard:
     def __init__(self, bucket: int, n_buckets: int, damping: float):
         self.b, self.B, self.d = bucket, n_buckets, damping
 
-    def load(self, node_refs, edge_refs, n_nodes: int) -> int:
-        """Node shards hash by node and edge shards by src with the
-        SAME hash, so every node's out-edges co-locate with its rank —
-        out-degree, per-edge 1/deg and the dangling flag are all LOCAL
-        (round 4: this replaced a deg aggregate + two cogroup joins of
-        driver-side setup — 3 of the 4 pre-actor exchanges)."""
+    def load(self, src_edge_refs, dst_edge_refs) -> int:
+        """Zero-exchange setup (round 4): the shard derives its OWN
+        node set from two task-level splits of the raw edges — srcs of
+        the src-sharded split and dsts of the dst-sharded split both
+        hash to this bucket, and every node appears in one of them.
+        Edge shards hash by src with the same hash, so out-degree,
+        per-edge 1/deg and the dangling flag are all LOCAL too. (This
+        replaced a distinct-nodes aggregate, a deg aggregate and two
+        cogroup joins of driver-side setup — every pre-actor
+        exchange.) Returns the local node count; the driver folds the
+        total and calls ``init`` with it."""
         import ray
 
         from ..functions.hashing import bucket_of
 
-        ntbls = [t for t in ray.get(list(node_refs)) if t.num_rows]
-        nodes = (pa.concat_tables(ntbls) if ntbls
-                 else pa.table({"node": pa.array([], pa.string())}))
-        self.nodes = nodes["node"].combine_chunks()
-        n = len(self.nodes)
-        self.rank = np.full(n, 1.0 / max(1, n_nodes))
-
-        etbls = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        etbls = [t for t in ray.get(list(src_edge_refs)) if t.num_rows]
         edges = (pa.concat_tables(etbls) if etbls
                  else pa.table({"src": pa.array([], pa.string()),
                                 "dst": pa.array([], pa.string())}))
-        src_idx = pc.index_in(edges["src"].combine_chunks(),
-                              value_set=self.nodes)
+        dtbls = [t for t in ray.get(list(dst_edge_refs)) if t.num_rows]
+        local_dsts = (pa.concat_tables(dtbls)["dst"].combine_chunks()
+                      if dtbls else pa.array([], pa.string()))
+        src_col = edges["src"].combine_chunks()
+        self.nodes = pa.array(np.unique(np.concatenate((
+            src_col.to_numpy(zero_copy_only=False),
+            local_dsts.to_numpy(zero_copy_only=False)))), pa.string())
+        n = len(self.nodes)
+
+        src_idx = pc.index_in(src_col, value_set=self.nodes)
         if edges.num_rows and pc.any(pc.is_null(src_idx)).as_py():
             raise AssertionError("edge src outside its rank shard")
         self.src_idx = src_idx.to_numpy(zero_copy_only=False) \
@@ -150,6 +156,11 @@ class _PRShard:
             self.route.append(
                 (order, pa.array(uniq.tolist(), pa.string()), starts))
         return len(self.nodes)
+
+    def init(self, n_nodes: int) -> None:
+        """Second setup wave: uniform rank once the driver has folded
+        the global node count from the load() returns."""
+        self.rank = np.full(len(self.nodes), 1.0 / max(1, n_nodes))
 
     def emit(self):
         import ray
@@ -187,7 +198,7 @@ class _PRShard:
                          "rank": pa.array(self.rank, pa.float64())})
 
 
-def _pagerank_actors(norm, nodes, n_nodes: int, *,
+def _pagerank_actors(norm, *,
                      damping: float, n_iter: int, tol: float | None,
                      num_shards: int):
     """Actor-sharded power iteration (the >driver-gate engine).
@@ -208,16 +219,18 @@ def _pagerank_actors(norm, nodes, n_nodes: int, *,
 
     # splits before actor creation + zero-CPU actors: reserving
     # B x num_cpus would starve the split tasks (actor-pool live-lock).
-    # Raw (src, dst) edges split by src; deg/inv_deg/dangling are
-    # derived locally in each shard's load (same hash on both splits).
-    edge_cols = split_dataset_by_bucket(norm, "src", B)
-    node_cols = split_dataset_by_bucket(nodes, "node", B)
+    # Raw (src, dst) edges split twice — by src (emission locality)
+    # and by dst (node discovery) — both task-level passes, no
+    # exchange; nodes/deg/inv_deg/dangling derive locally in load.
+    src_cols = split_dataset_by_bucket(norm, "src", B)
+    dst_cols = split_dataset_by_bucket(norm, "dst", B)
 
     Shard = ray.remote(num_cpus=0)(_PRShard)
     shards = [Shard.remote(b, B, damping) for b in range(B)]
     try:
-        ray.get([s.load.remote(node_cols[b], edge_cols[b], n_nodes)
-                 for b, s in enumerate(shards)])
+        n_nodes = sum(ray.get([s.load.remote(src_cols[b], dst_cols[b])
+                               for b, s in enumerate(shards)]))
+        ray.get([s.init.remote(n_nodes) for s in shards])
         for _ in range(n_iter):
             outs = ray.get([s.emit.remote() for s in shards])
             dmass = sum(o[0] for o in outs)
@@ -287,21 +300,20 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             batch["dst"], pa.ChunkedArray) else batch["dst"]
         return pa.table({"node": pa.concat_arrays([s, d])})
 
+    if engine in ("auto", "actors"):
+        # zero-exchange setup: the shards derive node sets, degrees
+        # and dangling flags locally from two task-level edge splits
+        # (by src and by dst) — none of the nodes/deg/edges/flagged
+        # exchanges below are needed
+        return _pagerank_actors(
+            norm, damping=damping, n_iter=n_iter, tol=tol,
+            num_shards=max(2, min(num_buckets, 8)))
+
     nodes = bucket_aggregate(
         norm.map_batches(sym_nodes, batch_format="pyarrow"),
         ["node"], [("count", None, "_n")],
         num_buckets=num_buckets).drop_columns(["_n"]).materialize()
     n_nodes = nodes.count()
-
-    if engine in ("auto", "actors"):
-        # the shard actors compute out-degree / inv_deg / dangling
-        # LOCALLY (node and edge shards share the hash), so none of
-        # the deg/edges/flagged exchanges below are needed — setup is
-        # ONE distinct-nodes aggregate plus the two splits
-        return _pagerank_actors(
-            norm, nodes, n_nodes, damping=damping,
-            n_iter=n_iter, tol=tol,
-            num_shards=max(2, min(num_buckets, 8)))
 
     deg = bucket_aggregate(
         norm.select_columns(["src"]).map_batches(
