@@ -1015,6 +1015,72 @@ def graph_pagerank(sf_dir: str):
     })
 
 
+@_q(
+    "graph_triangles",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.s AS x, b.s AS y
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+    SELECT (SELECT count(*) FROM e e1
+            JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges
+    """,
+)
+def graph_triangles(sf_dir: str):
+    """Exact triangle count over the supplier co-part graph (two
+    suppliers connect iff they supply a common part). The engine path
+    is the degree-oriented wedge join (stages/graph.triangle_count —
+    the Suri-Vassilvitskii 'last reducer' shape: wedges generate only
+    at each edge's lower-(degree, id) endpoint, so hub fanout is
+    arboricity-bounded); the co-supplier edges themselves come from a
+    per-part pair expansion inside one bucket cogroup. Oracle: the
+    3-way self-join in DuckDB."""
+    from .functions.hashing import bucket_of
+    from .stages.graph import triangle_count
+    from .stages.skew import bucket_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    ps = bucket_aggregate(
+        li.map_batches(
+            lambda b: pa.table({"p": pc.cast(b["l_partkey"], pa.int64()),
+                                "s": pc.cast(b["l_suppkey"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["p", "s"], [("count", None, "_c")],
+        num_buckets=16).drop_columns(["_c"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", bucket_of(pc.cast(batch["p"], pa.string()), 16))
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        p = group["p"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p_s, s_s = p[order], s[order]
+        _u, starts = np.unique(p_s, return_index=True)
+        lens = np.diff(np.append(starts, len(p_s)))
+        ranks = np.arange(len(p_s)) - np.repeat(starts, lens)
+        cnt = np.repeat(lens, lens) - 1 - ranks
+        total = int(cnt.sum())
+        if not total:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(p_s)), cnt)
+        second = first + 1 + (np.arange(total)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pa.table({"a": s_s[first], "b": s_s[second]})
+
+    edges = (ps.map_batches(tag, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(lambda g: part_pairs(g.drop_columns(["_bucket"])),
+                         batch_format="pyarrow"))
+    n_tri, n_edges = triangle_count(edges, num_buckets=16)
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
+                     "n_edges": pa.array([n_edges], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q3-style shipping priority: dimension broadcast semi-filter +
 # pre-aggregated fact side + one cogroup join + partial top-k
@@ -3201,6 +3267,63 @@ def embedding_pca(sf_dir: str):
     })
 
 
+@_q(
+    "embedding_kmeans",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+           CAST(8 AS BIGINT) AS k,
+           CAST(5 AS BIGINT) AS iters,
+           true AS numpy_parity,
+           true AS inertia_monotone
+    """,
+)
+def embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (stages/similarity.kmeans: (k x d)
+    centroid broadcast per iteration, one matmul per batch, mergeable
+    (count, sum) partials — vectors never leave their blocks),
+    surfaced as an oracle row: n_vectors is SQL-live; numpy_parity
+    runs the distributed engine AND an identical-semantics sequential
+    oracle on a deterministic hash-bounded ~4k-vector sample and pins
+    centroids (1e-6) and cluster counts equal; inertia_monotone pins
+    Lloyd's non-increasing-inertia invariant on the full-table run."""
+    from .functions.arrays import list_column_to_matrix
+    from .stages.similarity import kmeans, kmeans_sequential
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vectors = ds.count()
+
+    _c, _n, inertias = kmeans(ds, k=8, n_iter=5)
+    monotone = all(inertias[i + 1] <= inertias[i] * (1 + 1e-9)
+                   for i in range(len(inertias) - 1))
+
+    mod = max(1, n_vectors // 4096)
+
+    def sample(batch: pa.Table, _m=mod) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ((np.abs(vid) % 1000003) * 2654435761 % 1000003) % _m == 0
+        return batch.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow") \
+        .materialize()
+    ids_parts, mat_parts = [], []
+    for b in sampled.iter_batches(batch_format="pyarrow",
+                                  batch_size=4096):
+        ids_parts.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mat_parts.append(list_column_to_matrix(b["embedding"]))
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    cd, nd, _ = kmeans(sampled, k=8, n_iter=5)
+    cs, ns, _ = kmeans_sequential(mat, ids, k=8, n_iter=5)
+    parity = (np.abs(cd - cs).max() < 1e-6) and (nd == ns).all()
+    return pa.table({
+        "n_vectors": pa.array([n_vectors], pa.int64()),
+        "k": pa.array([8], pa.int64()),
+        "iters": pa.array([5], pa.int64()),
+        "numpy_parity": pa.array([bool(parity)], pa.bool_()),
+        "inertia_monotone": pa.array([bool(monotone)], pa.bool_()),
+    })
+
+
 def _ann_recall_row(sf_dir: str, approx_ds, floor: float) -> pa.Table:
     """(k, n_returned, recall_ok) vs the brute-force exact top-10 —
     the accuracy contract of an approximate ANN path as an oracle
@@ -4623,6 +4746,8 @@ def supplier_nation_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _GATE_FIRST = [
+    # new in round 4 — no driver row yet
+    "embedding_kmeans", "graph_triangles",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",

@@ -342,3 +342,105 @@ def embedding_pca(emb_ds, *, vec_col: str = "embedding", top_k: int = 3):
         "explained_ratio": pa.array(np.round(evals[:k] / total, 6),
                                     pa.float64()),
     }))
+
+
+def kmeans(emb_ds, *, k: int = 8, n_iter: int = 5,
+           vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The 100-TB shape: centroids are a (k x d) broadcast (``ray.put``
+    once per iteration), assignment is one matmul per batch, and each
+    batch emits only a (k, d+1) partial (per-cluster count + vector
+    sum — mergeable under addition), folded on the driver exactly like
+    :func:`embedding_pca`'s moments. The vectors themselves never
+    leave their blocks and nothing corpus-sized lands on the driver.
+
+    Deterministic: init = the k vectors with the smallest ``id_col``
+    (stable under block order), fixed iteration count. Returns
+    ``(centroids: (k, d) ndarray, counts: (k,) ndarray,
+    inertias: [float per iteration])`` — inertia is computed against
+    the iteration's INPUT centroids, so the sequence is non-increasing
+    (Lloyd's invariant) up to float noise.
+    """
+    import ray
+
+    from ..functions.arrays import list_column_to_matrix
+
+    # deterministic seed centroids: k smallest ids, one bounded pass
+    # (k x d on the driver — the same dimension assumption as PCA)
+    seed_rows: list[tuple] = []
+    for b in emb_ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(b[vec_col])
+        for i in np.argsort(ids, kind="stable")[:k]:
+            seed_rows.append((ids[i], mat[i]))
+        seed_rows.sort(key=lambda r: r[0])
+        del seed_rows[k:]
+    if not seed_rows:
+        raise ValueError("kmeans: empty input")
+    cent = np.stack([v for _i, v in seed_rows]).astype(np.float64)
+    kk = len(cent)
+
+    inertias: list[float] = []
+    counts = np.zeros(kk)
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = list_column_to_matrix(batch[vec_col])
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (-2.0 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = d2.argmin(axis=1)
+            best = d2[np.arange(len(m)), a] + (m * m).sum(axis=1)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.float64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            return pa.table({
+                "cnt": pa.array([cnt], pa.list_(pa.float64())),
+                "sum": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                "inertia": pa.array([float(best.sum())], pa.float64()),
+            })
+
+        cnt_tot = np.zeros(kk)
+        sum_tot = np.zeros_like(cent)
+        inertia = 0.0
+        for b in emb_ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=1024):
+            for i in range(b.num_rows):
+                cnt_tot += np.asarray(b["cnt"][i].as_py())
+                sum_tot += np.asarray(b["sum"][i].as_py()) \
+                    .reshape(cent.shape)
+                inertia += b["inertia"][i].as_py()
+        inertias.append(inertia)
+        nz = cnt_tot > 0
+        cent = np.where(nz[:, None], sum_tot / np.maximum(cnt_tot, 1)[:, None],
+                        cent)  # empty cluster keeps its centroid
+        counts = cnt_tot
+    return cent, counts, inertias
+
+
+def kmeans_sequential(mat: np.ndarray, ids: np.ndarray, *, k: int = 8,
+                      n_iter: int = 5):
+    """In-memory oracle with IDENTICAL semantics to :func:`kmeans`
+    (same init rule, same update, same empty-cluster handling) for
+    bounded-sample parity checks and pytests."""
+    order = np.argsort(ids, kind="stable")[:k]
+    cent = mat[order].astype(np.float64)
+    inertias = []
+    counts = np.zeros(len(cent))
+    for _ in range(n_iter):
+        d2 = (-2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :])
+        a = d2.argmin(axis=1)
+        best = d2[np.arange(len(mat)), a] + (mat * mat).sum(axis=1)
+        inertias.append(float(best.sum()))
+        cnt = np.bincount(a, minlength=len(cent)).astype(np.float64)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mat)
+        nz = cnt > 0
+        cent = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None],
+                        cent)
+        counts = cnt
+    return cent, counts, inertias
