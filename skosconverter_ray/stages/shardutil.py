@@ -43,3 +43,56 @@ def split_dataset_by_bucket(ds, col: str, n_buckets: int) -> list[list]:
         for t, part in enumerate(out):
             cols[t].append(part)
     return cols
+
+
+def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
+    """Task-level hash exchange: materialized Dataset -> per-bucket
+    ``fn(concat(bucket tables))`` -> Dataset, with NO sort.
+
+    Ray's ``groupby(bucket).map_groups`` runs a SORT-based all-to-all
+    (sample + range partition + per-partition sort) that dominated the
+    flagship dedup wall at 1M docs (41 s of a 60 s run at 16 cpus).
+    When rows already carry an int bucket column in [0, n_buckets),
+    grouping needs none of that: one split task per block scatters
+    rows by bucket value, one gather task per bucket concatenates its
+    parts and applies ``fn``. Every row moves once through the object
+    store; wall is max(split) + max(gather). ``fn`` must be
+    serializable and accept one ``pa.Table``."""
+    import numpy as np
+    import ray
+
+    B = n_buckets
+
+    @ray.remote(num_returns=B)
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0 or bucket_col not in tbl.column_names:
+            parts = tuple(tbl.slice(0, 0) for _ in range(B))
+        else:
+            bk = tbl[bucket_col].to_numpy(zero_copy_only=False)
+            parts = tuple(tbl.filter(pa.array(bk == t))
+                          for t in range(B))
+        return parts if B > 1 else parts[0]
+
+    @ray.remote
+    def gather(*parts):
+        tbls = [p for p in parts if p.num_rows]
+        if not tbls:
+            # schema-carrying empty output (parts are real-block slices)
+            return fn(parts[0].slice(0, 0))
+        return fn(pa.concat_tables(tbls).combine_chunks())
+
+    in_refs = ds.to_arrow_refs()
+    if not in_refs:
+        return ds  # zero-block input: nothing to scatter
+    cols: list[list] = [[] for _ in range(B)]
+    for ref in in_refs:
+        out = split.remote(ref)
+        if B == 1:
+            out = [out]
+        for t, part in enumerate(out):
+            cols[t].append(part)
+    import ray.data as rd
+
+    # gather outputs are driver-owned task returns (refs only — rows
+    # never land on the driver)
+    return rd.from_arrow_refs([gather.remote(*cols[t]) for t in range(B)])

@@ -102,15 +102,19 @@ def dedup_triples(triples_ds, *, num_buckets: int = 64,
 
     keyed = triples_ds.map_batches(local, batch_format="pyarrow")
     if coalesce:
-        # bound the block count entering the shuffle: sort-shuffle
-        # transfer cost grows with map_blocks x reduce_partitions, and
-        # a wide upstream (hundreds of small map outputs) makes the
-        # groupby quadratic-ish (measured at 32 cpus over 1.5M triples:
-        # 512-block input 28s vs 64-block 13s). Only worth the extra
-        # exchange on corpus-scale inputs — callers opt in.
-        keyed = keyed.repartition(num_buckets)
-    out = keyed.groupby("_bucket").map_groups(
-        _first_per_hash, batch_format="pyarrow")
+        # corpus-scale path (round 4): rows already carry the int
+        # bucket, so grouping needs no sort — a task-level hash
+        # scatter/gather (one split task per block, one dedup task per
+        # bucket) replaces Ray's SORT-based groupby exchange, which
+        # dominated the 1M-doc flagship wall (41 s of 60 s at 16 cpus;
+        # sample+range-partition+sort is wasted work for hash groups).
+        from .shardutil import scatter_apply_by_value
+
+        out = scatter_apply_by_value(keyed.materialize(), "_bucket",
+                                     num_buckets, _first_per_hash)
+    else:
+        out = keyed.groupby("_bucket").map_groups(
+            _first_per_hash, batch_format="pyarrow")
     return out.drop_columns(["_h1", "_h2", "_bucket"])
 
 
