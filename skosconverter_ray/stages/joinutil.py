@@ -40,7 +40,8 @@ def _bucket_of(values, n_buckets: int) -> pa.Array:
 def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
                  num_buckets: int = 32, join_type: str = "inner",
                  left_schema: pa.Schema | None = None,
-                 right_schema: pa.Schema | None = None):
+                 right_schema: pa.Schema | None = None,
+                 shuffle: str = "sort"):
     """Join two Datasets on single key columns. Column sets of the two
     sides must be disjoint apart from the keys (rename upstream).
 
@@ -55,6 +56,13 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
     dataset: ``Dataset.schema()`` on a lazy pipeline executes a partial
     pass of its whole upstream to infer types, so a chain of two
     cogroup_joins would re-execute join #1 once just to get its schema.
+
+    ``shuffle="task"`` routes the cogroup exchange through the
+    task-level hash scatter/gather (shardutil.scatter_apply_by_value)
+    instead of Ray's SORT-based groupby — rows already carry the int
+    bucket, so the sample+range-partition+sort is wasted work. Costs a
+    materialize of the tagged union (a groupby is a barrier anyway);
+    wins when either side is corpus-scale.
     """
     from ..config import use_hash_shuffle
     use_hash_shuffle()
@@ -153,5 +161,10 @@ def cogroup_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 cols[n] = pa.nulls(joined.num_rows, t)
         return pa.table(cols, schema=out_schema)
 
+    if shuffle == "task":
+        from .shardutil import scatter_apply_by_value
+
+        return scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                      num_buckets, join_bucket)
     return tagged.groupby("_bucket").map_groups(
         join_bucket, batch_format="pyarrow")

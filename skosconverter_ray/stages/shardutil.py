@@ -81,9 +81,16 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
             return fn(parts[0].slice(0, 0))
         return fn(pa.concat_tables(tbls).combine_chunks())
 
+    import ray.data as rd
+
     in_refs = ds.to_arrow_refs()
     if not in_refs:
-        return ds  # zero-block input: nothing to scatter
+        # zero-block input: fn still defines the output schema (e.g. a
+        # join's output differs from its tagged input) — apply it to a
+        # schema-carrying empty table on the driver
+        sch = ds.schema()
+        empty = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+        return rd.from_arrow(fn(empty))
     cols: list[list] = [[] for _ in range(B)]
     for ref in in_refs:
         out = split.remote(ref)
@@ -91,7 +98,6 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
             out = [out]
         for t, part in enumerate(out):
             cols[t].append(part)
-    import ray.data as rd
 
     # gather outputs are driver-owned task returns (refs only — rows
     # never land on the driver)

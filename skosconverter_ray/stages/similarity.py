@@ -444,3 +444,106 @@ def kmeans_sequential(mat: np.ndarray, ids: np.ndarray, *, k: int = 8,
                         cent)
         counts = cnt
     return cent, counts, inertias
+
+
+def semantic_dedup(emb_ds, *, centroids: np.ndarray,
+                   threshold: float = 0.92,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   num_buckets: int | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign each vector to its nearest k-means
+    centroid, then within each cluster drop every item whose cosine
+    similarity to a LOWER-id cluster member is >= ``threshold``
+    (min-id representative — deterministic, order-free).
+
+    The 100-TB shape: ``centroids`` (k x d, from :func:`kmeans`) is a
+    ``ray.put`` broadcast; assignment is one matmul per batch; the
+    pairwise check never crosses clusters, so the only exchange is ONE
+    hash scatter by cluster id (task-level scatter/gather — no sort),
+    and per-task work is bounded by the largest cluster, which the
+    caller controls via k (SemDeDup's design point is k ~ n/1000).
+
+    Returns a Dataset of ``(id_col, cluster: int32, keep: bool)``.
+    Keep decisions are bit-stable across block splits: each pair's
+    dot product reduces over the fixed vector dimension, and rows are
+    id-sorted inside each cluster before the scan.
+    """
+    import ray
+
+    from .shardutil import scatter_apply_by_value
+    from ..functions.arrays import list_column_to_matrix
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    ref = ray.put(cent)
+    B = num_buckets or min(32, max(4, len(cent)))
+
+    def assign(batch: pa.Table, _ref=ref, _B=B) -> pa.Table:
+        c = ray.get(_ref)
+        m = list_column_to_matrix(batch[vec_col])
+        d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cluster": pa.array(a, pa.int32()),
+            "_bucket": pa.array(a % _B, pa.int32()),
+        })
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("cluster", pa.int32()),
+        ("keep", pa.bool_()),
+    ])
+
+    def dedup_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(tbl[vec_col])
+        norm = np.linalg.norm(mat, axis=1)
+        mat = mat / np.maximum(norm, 1e-30)[:, None]
+        # id-sorted cluster runs: one argsort, then a vectorized
+        # lower-triangle scan per cluster slice
+        order = np.lexsort((ids, cl))
+        ids, cl, mat = ids[order], cl[order], mat[order]
+        keep = np.ones(len(ids), bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(cl)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            sim = mat[s:e] @ mat[s:e].T
+            dup = np.tril(sim >= threshold, k=-1).any(axis=1)
+            keep[s:e] = ~dup
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int32()),
+            "keep": pa.array(keep),
+        }, schema=out_schema)
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    return scatter_apply_by_value(assigned.materialize(), "_bucket", B,
+                                  dedup_bucket)
+
+
+def semantic_dedup_sequential(mat: np.ndarray, ids: np.ndarray,
+                              centroids: np.ndarray,
+                              threshold: float = 0.92) -> np.ndarray:
+    """In-memory oracle with IDENTICAL semantics to
+    :func:`semantic_dedup` given the same centroids: returns the keep
+    mask aligned to ``ids``'s input order."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    d2 = -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    a = d2.argmin(axis=1)
+    m = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+    keep = np.ones(len(ids), bool)
+    for c in np.unique(a):
+        idx = np.flatnonzero(a == c)
+        idx = idx[np.argsort(ids[idx], kind="stable")]
+        if len(idx) < 2:
+            continue
+        sim = m[idx] @ m[idx].T
+        dup = np.tril(sim >= threshold, k=-1).any(axis=1)
+        keep[idx] = ~dup
+    return keep
