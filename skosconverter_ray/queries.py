@@ -3324,6 +3324,89 @@ def embedding_kmeans(sf_dir: str):
     })
 
 
+@_q(
+    "embedding_semantic_dedup",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+           CAST(8 AS BIGINT) AS k,
+           CAST(80 AS BIGINT) AS threshold_pct,
+           true AS numpy_parity,
+           true AS kept_frac_ok,
+           true AS crosscluster_free
+    """,
+)
+def embedding_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/similarity.semantic_dedup:
+    k-means assign = one centroid-broadcast matmul per batch, then ONE
+    task-level hash scatter by cluster id and a per-cluster id-sorted
+    cosine scan — no cross-cluster pair is ever formed). Oracle row:
+    n_vectors is SQL-live; numpy_parity runs the distributed engine and
+    an identical-semantics sequential oracle on a hash-bounded ~2k
+    sample WITH THE SAME centroids and pins the keep masks equal;
+    kept_frac_ok pins 0 < kept <= n on the full-table run;
+    crosscluster_free pins that dropped items always have a lower-id
+    same-cluster member at cosine >= threshold (spot-checked on the
+    sample)."""
+    from .functions.arrays import list_column_to_matrix
+    from .stages.similarity import (kmeans, semantic_dedup,
+                                    semantic_dedup_sequential)
+
+    thr = 0.80
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vectors = ds.count()
+    cent, _cnt, _ = kmeans(ds, k=8, n_iter=5)
+
+    full = semantic_dedup(ds, centroids=cent, threshold=thr).materialize()
+    n_kept = 0
+    for b in full.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n_kept += int(pc.sum(b["keep"]).as_py() or 0)
+    kept_ok = 0 < n_kept <= n_vectors
+
+    # bounded sample, both engines, same centroids -> exact mask parity
+    mod = max(1, n_vectors // 2048)
+
+    def sample(batch: pa.Table, _m=mod) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ((np.abs(vid) % 1000003) * 2654435761 % 1000003) % _m == 0
+        return batch.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow").materialize()
+    ids_p, mat_p = [], []
+    for b in sampled.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids_p.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mat_p.append(list_column_to_matrix(b["embedding"]))
+    ids = np.concatenate(ids_p)
+    mat = np.concatenate(mat_p)
+    keep_seq = semantic_dedup_sequential(mat, ids, cent, threshold=thr)
+    got = {r["vec_id"]: (r["keep"], r["cluster"])
+           for b in semantic_dedup(sampled, centroids=cent, threshold=thr)
+           .iter_batches(batch_format="pyarrow", batch_size=8192)
+           for r in b.to_pylist()}
+    parity = (len(got) == len(ids) and
+              all(got[int(i)][0] == bool(k)
+                  for i, k in zip(ids, keep_seq)))
+
+    # dropped => some lower-id same-cluster member at cosine >= thr
+    m = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+    order = np.argsort(ids, kind="stable")
+    cc_ok = True
+    for pos, i in enumerate(order):
+        if got[int(ids[i])][0]:
+            continue
+        cl_i = got[int(ids[i])][1]
+        earlier = [j for j in order[:pos] if got[int(ids[j])][1] == cl_i]
+        cc_ok &= bool(earlier) and bool(
+            (m[earlier] @ m[i] >= thr - 1e-12).any())
+    return pa.table({
+        "n_vectors": pa.array([n_vectors], pa.int64()),
+        "k": pa.array([8], pa.int64()),
+        "threshold_pct": pa.array([80], pa.int64()),
+        "numpy_parity": pa.array([bool(parity)], pa.bool_()),
+        "kept_frac_ok": pa.array([bool(kept_ok)], pa.bool_()),
+        "crosscluster_free": pa.array([bool(cc_ok)], pa.bool_()),
+    })
+
+
 def _ann_recall_row(sf_dir: str, approx_ds, floor: float) -> pa.Table:
     """(k, n_returned, recall_ok) vs the brute-force exact top-10 —
     the accuracy contract of an approximate ANN path as an oracle
@@ -4747,7 +4830,7 @@ def supplier_nation_join(sf_dir: str):
 
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
-    "embedding_kmeans", "graph_triangles",
+    "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",
