@@ -200,6 +200,70 @@ def doc_token_bpe(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: BPE tokenizer TRAINING (distributed merge learning)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_bpe_train",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST(12 AS BIGINT) AS n_merges,
+           true AS seq_parity,
+           true AS merges_nonempty
+    """,
+)
+def doc_bpe_train(sf_dir: str):
+    """Distributed BPE-merge training (stages/bpe.py): ONE corpus pass
+    + one word-count exchange, then 12 fused apply-merge/count-pairs
+    task waves over the dimension-sized distinct-word table — blocks
+    never transit the driver, only pair-count partials do. Oracle row:
+    n_docs is SQL-live; seq_parity pins the distributed merge list
+    EXACTLY equal to an independent naive in-memory trainer replayed
+    on the same word counts (deterministic count-desc/pair-asc
+    tie-break makes the list unique)."""
+    import polars as pl
+
+    from .stages.bpe import bpe_train, bpe_train_sequential
+    from .stages.skew import bucket_aggregate
+
+    n_merges = 12
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _meta_rows(sf_dir, "documents")
+
+    wc_schema = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+
+    def wc_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z]+").alias("word"))
+            .drop("text").explode("word")
+            .filter(pl.col("word").is_not_null())
+            .group_by("word").len(name="cnt"))
+        return out.to_arrow().cast(wc_schema)
+
+    wc = bucket_aggregate(
+        ds.map_batches(wc_batch, batch_format="pyarrow"),
+        ["word"], [("sum", "cnt", "cnt")],
+        num_buckets=_adaptive_buckets(sf_dir, "documents")).materialize()
+
+    merges = bpe_train(wc, n_merges=n_merges)
+
+    # oracle replay on the same (dimension-sized) word-count table
+    counts: dict[str, int] = {}
+    for b in wc.iter_batches(batch_format="pyarrow", batch_size=8192):
+        for w, c in zip(b["word"].to_pylist(), b["cnt"].to_pylist()):
+            counts[w] = counts.get(w, 0) + c
+    seq = bpe_train_sequential(counts, n_merges)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_merges": pa.array([n_merges], pa.int64()),
+        "seq_parity": pa.array([merges == seq], pa.bool_()),
+        "merges_nonempty": pa.array([len(merges) > 0], pa.bool_()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Documents: multi-signal quality scoring (length/punct/stopword ratios)
 # ---------------------------------------------------------------------------
 
@@ -4831,6 +4895,7 @@ def supplier_nation_join(sf_dir: str):
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
+    "doc_bpe_train",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",

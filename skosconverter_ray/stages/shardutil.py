@@ -60,13 +60,20 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
     serializable and accept one ``pa.Table``."""
     import numpy as np
     import ray
+    import ray.data as rd
 
     B = n_buckets
+    # unified schema up front: upstream map_groups can leave EMPTY
+    # schema-less blocks in a materialized dataset — their slices must
+    # not define any bucket's schema, and the all-empty gather path
+    # needs a real schema to hand fn
+    sch = ds.schema()
+    schema = pa.schema(list(zip(sch.names, sch.types)))
 
     @ray.remote(num_returns=B)
     def split(tbl: pa.Table):
         if tbl.num_rows == 0 or bucket_col not in tbl.column_names:
-            parts = tuple(tbl.slice(0, 0) for _ in range(B))
+            parts = tuple(schema.empty_table() for _ in range(B))
         else:
             bk = tbl[bucket_col].to_numpy(zero_copy_only=False)
             parts = tuple(tbl.filter(pa.array(bk == t))
@@ -77,20 +84,15 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
     def gather(*parts):
         tbls = [p for p in parts if p.num_rows]
         if not tbls:
-            # schema-carrying empty output (parts are real-block slices)
-            return fn(parts[0].slice(0, 0))
+            return fn(schema.empty_table())
         return fn(pa.concat_tables(tbls).combine_chunks())
-
-    import ray.data as rd
 
     in_refs = ds.to_arrow_refs()
     if not in_refs:
         # zero-block input: fn still defines the output schema (e.g. a
         # join's output differs from its tagged input) — apply it to a
         # schema-carrying empty table on the driver
-        sch = ds.schema()
-        empty = pa.schema(list(zip(sch.names, sch.types))).empty_table()
-        return rd.from_arrow(fn(empty))
+        return rd.from_arrow(fn(schema.empty_table()))
     cols: list[list] = [[] for _ in range(B)]
     for ref in in_refs:
         out = split.remote(ref)
