@@ -99,7 +99,8 @@ def bucket_codes(col, num_buckets: int, *, seed: int = 11) -> np.ndarray:
 
 
 def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
-                     *, num_buckets: int = 64, bucket_key: str | None = None):
+                     *, num_buckets: int = 64, bucket_key: str | None = None,
+                     shuffle: str = "task"):
     """High-cardinality groupby-aggregate as ONE coarse cogroup.
 
     Ray's sort-based ``groupby(key).aggregate`` pays a full sort
@@ -155,6 +156,12 @@ def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
         return out.append_column("_bucket", pa.array(b, pa.int32()))
 
     def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # task-exchange empty bucket: schema-correct empty output
+            sch = group.drop_columns(["_bucket"]).schema
+            names = keys + [alias for _, _, alias in specs]
+            return pa.schema([(n, sch.field(n).type)
+                              for n in names]).empty_table()
         merged = group.drop_columns(["_bucket"]).group_by(keys) \
                       .aggregate(final_aggs)
         cols = {k: merged[k] for k in keys}
@@ -162,6 +169,14 @@ def bucket_aggregate(ds, keys: list[str], specs: list[tuple[str, str, str]],
             cols[alias] = merged[f"{fa}_{fop}"]
         return pa.table(cols)
 
-    return (ds.map_batches(combine, batch_format="pyarrow")
-              .groupby("_bucket")
-              .map_groups(final, batch_format="pyarrow"))
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    if shuffle == "task":
+        # partials are map-side combined (one row per group per batch)
+        # — materializing them is cheap, and the task-level hash
+        # scatter/gather skips the sort the bucket key never needed
+        from .shardutil import scatter_apply_by_value
+
+        return scatter_apply_by_value(partials.materialize(), "_bucket",
+                                      num_buckets, final)
+    return partials.groupby("_bucket").map_groups(
+        final, batch_format="pyarrow")
