@@ -274,9 +274,11 @@ def candidate_pairs(index_ds, *, num_buckets: int = 64):
         return pa.table({"doc_a": pa.array(a_out, group["doc_id"].type),
                          "doc_b": pa.array(b_out, group["doc_id"].type)})
 
+    from .shardutil import scatter_apply_by_value
+
     idx = index_ds.map_batches(add_bucket, batch_format="pyarrow")
-    return idx.groupby("_bucket").map_groups(emit_pairs,
-                                             batch_format="pyarrow")
+    return scatter_apply_by_value(idx.materialize(), "_bucket",
+                                  num_buckets, emit_pairs)
 
 
 def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
@@ -504,10 +506,12 @@ def simhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
 
     from .skew import bucket_aggregate
 
+    from .shardutil import scatter_apply_by_value
+
     rows = docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=512)
     rows = rows.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = rows.groupby("_bucket").map_groups(bucket_pairs,
-                                               batch_format="pyarrow")
+    pairs = scatter_apply_by_value(rows.materialize(), "_bucket",
+                                   64, bucket_pairs)
     return bucket_aggregate(pairs, ["doc_a", "doc_b"],
                             [("min", "hamming", "hamming")],
                             bucket_key="doc_a")
@@ -733,9 +737,11 @@ def edit_distance1_pairs(terms_ds, *, col: str = "term",
             "term_b": pa.array([p[1] for p in pairs], pa.string()),
         })
 
-    cand = (terms_ds.map_batches(emit_keys, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(bucket_pairs,
-                                           batch_format="pyarrow"))
+    from .shardutil import scatter_apply_by_value
+
+    cand = scatter_apply_by_value(
+        terms_ds.map_batches(emit_keys, batch_format="pyarrow")
+        .materialize(), "_bucket", num_buckets, bucket_pairs)
     deduped = bucket_aggregate(cand, ["term_a", "term_b"],
                                [("count", None, "_n")],
                                num_buckets=max(8, num_buckets // 2),

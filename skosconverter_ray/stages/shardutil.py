@@ -45,7 +45,8 @@ def split_dataset_by_bucket(ds, col: str, n_buckets: int) -> list[list]:
     return cols
 
 
-def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
+def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn,
+                           empty_result: pa.Table | None = None):
     """Task-level hash exchange: materialized Dataset -> per-bucket
     ``fn(concat(bucket tables))`` -> Dataset, with NO sort.
 
@@ -57,7 +58,13 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
     rows by bucket value, one gather task per bucket concatenates its
     parts and applies ``fn``. Every row moves once through the object
     store; wall is max(split) + max(gather). ``fn`` must be
-    serializable and accept one ``pa.Table``."""
+    serializable and accept one ``pa.Table``.
+
+    ``empty_result``: schema-correct empty output returned for empty
+    buckets INSTEAD of calling ``fn`` — pass it when ``fn`` assumes
+    non-empty input (``groupby().map_groups`` never delivered empty
+    groups; this exchange otherwise calls ``fn`` on a schema-carrying
+    empty table)."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -68,6 +75,14 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
     # not define any bucket's schema, and the all-empty gather path
     # needs a real schema to hand fn
     sch = ds.schema()
+    if sch is None:
+        # fully-empty materialized dataset (schema() is None): nothing
+        # to scatter and no input schema to hand fn
+        if empty_result is not None:
+            import ray.data as rd
+
+            return rd.from_arrow(empty_result)
+        return ds
     schema = pa.schema(list(zip(sch.names, sch.types)))
 
     @ray.remote(num_returns=B)
@@ -84,6 +99,8 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
     def gather(*parts):
         tbls = [p for p in parts if p.num_rows]
         if not tbls:
+            if empty_result is not None:
+                return empty_result
             return fn(schema.empty_table())
         return fn(pa.concat_tables(tbls).combine_chunks())
 
@@ -92,6 +109,8 @@ def scatter_apply_by_value(ds, bucket_col: str, n_buckets: int, fn):
         # zero-block input: fn still defines the output schema (e.g. a
         # join's output differs from its tagged input) — apply it to a
         # schema-carrying empty table on the driver
+        if empty_result is not None:
+            return rd.from_arrow(empty_result)
         return rd.from_arrow(fn(schema.empty_table()))
     cols: list[list] = [[] for _ in range(B)]
     for ref in in_refs:

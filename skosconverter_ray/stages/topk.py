@@ -86,6 +86,8 @@ def top_k_per_key(ds, keys: list[str], order_col: str, k: int, *,
         return _rank_select(group.drop_columns(["_bucket"]), keys,
                             order_col, k, descending, tiebreak)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("_bucket")
-              .map_groups(final, batch_format="pyarrow"))
+    from .shardutil import scatter_apply_by_value
+
+    return scatter_apply_by_value(
+        ds.map_batches(partial, batch_format="pyarrow").materialize(),
+        "_bucket", num_buckets, final)

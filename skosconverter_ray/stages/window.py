@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .shardutil import scatter_apply_by_value
+
 
 def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
                num_buckets: int = 32):
@@ -88,8 +90,14 @@ def sessionize(events_ds, *, gap_s: float = 4 * 3600.0,
         })
 
     tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
-    return tagged.groupby("_bucket").map_groups(sessions,
-                                                batch_format="pyarrow")
+    empty = pa.schema([
+        ("user_id", pa.int64()), ("sess", pa.int64()),
+        ("n_events", pa.int64()), ("total_value", pa.float64()),
+        ("session_start", pa.string()), ("session_end", pa.string()),
+    ]).empty_table()
+    return scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                  num_buckets, sessions,
+                                  empty_result=empty)
 
 
 
@@ -172,8 +180,10 @@ def rolling_window(events_ds, *, window_s: float = 3600.0,
 
     tagged = events_ds.map_batches(
         lambda b: _tag_user_cents(b, num_buckets), batch_format="pyarrow")
-    return tagged.groupby("_bucket").map_groups(roll,
-                                                batch_format="pyarrow")
+    empty = pa.schema([("event_id", pa.int64()), ("win_n", pa.int64()),
+                       ("win_total", pa.float64())]).empty_table()
+    return scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                  num_buckets, roll, empty_result=empty)
 
 
 def row_windows(events_ds, *, rows_preceding: int = 4,
@@ -233,8 +243,13 @@ def row_windows(events_ds, *, rows_preceding: int = 4,
 
     tagged = events_ds.map_batches(
         lambda b: _tag_user_cents(b, num_buckets), batch_format="pyarrow")
-    return tagged.groupby("_bucket").map_groups(windows,
-                                                batch_format="pyarrow")
+    empty = pa.schema([("event_id", pa.int64()),
+                       ("run_total", pa.float64()),
+                       ("winr_total", pa.float64()),
+                       ("prev_gap_us", pa.int64())]).empty_table()
+    return scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                  num_buckets, windows,
+                                  empty_result=empty)
 
 
 def funnel_sessions(events_ds, *, stages: tuple[str, ...],
@@ -294,5 +309,8 @@ def funnel_sessions(events_ds, *, stages: tuple[str, ...],
         })
 
     tagged = events_ds.map_batches(bucket, batch_format="pyarrow")
-    return tagged.groupby("_bucket").map_groups(funnel,
-                                                batch_format="pyarrow")
+    empty = pa.schema([("stage", pa.string()),
+                       ("n_sessions", pa.int64())]).empty_table()
+    return scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                  num_buckets, funnel,
+                                  empty_result=empty)
