@@ -200,6 +200,100 @@ def doc_token_bpe(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: inter-document duplicated n-gram rate (substring-dup signal)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dup_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ), df AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    )
+    SELECT g2.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup
+    FROM grams g2 JOIN df ON g2.g = df.g
+    GROUP BY g2.doc_id
+    """,
+)
+def doc_dup_ngrams(sf_dir: str):
+    """Per-document INTER-doc duplicated 5-gram rate — the substring-
+    duplication signal of Lee et al. 2022 (arXiv:2107.06499) at n-gram
+    granularity (doc_repetition_signals covers the INTRA-doc case).
+    n_grams = token-position 5-grams in the doc; n_dup = those whose
+    gram also appears in at least one other document.
+
+    Shape (same as TF-IDF): per-batch vectorized gram emit (polars
+    shift-and-concat over exploded tokens — a doc never splits across
+    rows), one bucket aggregate for per-(doc,gram) tf, one for
+    gram document-frequency, one cogroup join on gram (the DF table is
+    gram-cardinality — never broadcast), one per-doc aggregate. Every
+    exchange is the task-level hash scatter."""
+    import polars as pl
+
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    n = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _adaptive_buckets(sf_dir, "documents")
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        d = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("tok"))
+            .drop("text").explode("tok")
+            .filter(pl.col("tok").is_not_null()))
+        shifted = [pl.col("tok")] + [
+            pl.col("tok").shift(-i).over("doc_id").alias(f"_t{i}")
+            for i in range(1, n)]
+        d = (d.with_columns(
+                pl.concat_str(shifted, separator=" ").alias("gram"))
+             .filter(pl.col("gram").is_not_null())
+             .group_by(["doc_id", "gram"]).len(name="tf"))
+        return d.to_arrow().cast(tf_schema)
+
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    df_ds = bucket_aggregate(tf_ds.select_columns(["gram"]), ["gram"],
+                             [("count", None, "df")], num_buckets=nb)
+    joined = cogroup_join(
+        tf_ds, df_ds, left_on="gram", right_on="gram",
+        join_type="inner", num_buckets=nb,
+        left_schema=tf_schema,
+        right_schema=pa.schema([("gram", pa.string()),
+                                ("df", pa.int64())]))
+
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dup = np.where(
+            batch["df"].to_numpy(zero_copy_only=False) >= 2, tf, 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(tf, pa.int64()),
+            "n_dup": pa.array(dup, pa.int64()),
+        })
+
+    out = bucket_aggregate(
+        joined.map_batches(per_doc_partial, batch_format="pyarrow"),
+        ["doc_id"], [("sum", "n_grams", "n_grams"),
+                     ("sum", "n_dup", "n_dup")], num_buckets=nb)
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("n_grams", pa.int64()),
+                                    ("n_dup", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: BPE tokenizer TRAINING (distributed merge learning)
 # ---------------------------------------------------------------------------
 
@@ -4895,7 +4989,7 @@ def supplier_nation_join(sf_dir: str):
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
-    "doc_bpe_train",
+    "doc_bpe_train", "doc_dup_ngrams",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",
