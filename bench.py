@@ -58,6 +58,12 @@ HEADLINE = [
     "doc_bigram_lm",
     "media_thumbnails",
     "curation_pipeline",
+    # round 4 operators
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "doc_bpe_train",
+    "doc_dup_ngrams",
+    "graph_triangles",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -306,24 +306,14 @@ def doc_dup_ngrams(sf_dir: str):
            true AS merges_nonempty
     """,
 )
-def doc_bpe_train(sf_dir: str):
-    """Distributed BPE-merge training (stages/bpe.py): ONE corpus pass
-    + one word-count exchange, then 12 fused apply-merge/count-pairs
-    task waves over the dimension-sized distinct-word table — blocks
-    never transit the driver, only pair-count partials do. Oracle row:
-    n_docs is SQL-live; seq_parity pins the distributed merge list
-    EXACTLY equal to an independent naive in-memory trainer replayed
-    on the same word counts (deterministic count-desc/pair-asc
-    tie-break makes the list unique)."""
+def _bpe_word_counts(sf_dir: str):
+    """Materialized (word, cnt) table over documents — the one corpus
+    pass + one exchange shared by the BPE train/encode queries."""
     import polars as pl
 
-    from .stages.bpe import bpe_train, bpe_train_sequential
     from .stages.skew import bucket_aggregate
 
-    n_merges = 12
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = _meta_rows(sf_dir, "documents")
-
     wc_schema = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
 
     def wc_batch(batch: pa.Table) -> pa.Table:
@@ -336,11 +326,26 @@ def doc_bpe_train(sf_dir: str):
             .group_by("word").len(name="cnt"))
         return out.to_arrow().cast(wc_schema)
 
-    wc = bucket_aggregate(
+    return bucket_aggregate(
         ds.map_batches(wc_batch, batch_format="pyarrow"),
         ["word"], [("sum", "cnt", "cnt")],
         num_buckets=_adaptive_buckets(sf_dir, "documents")).materialize()
 
+
+def doc_bpe_train(sf_dir: str):
+    """Distributed BPE-merge training (stages/bpe.py): ONE corpus pass
+    + one word-count exchange, then 12 fused apply-merge/count-pairs
+    task waves over the dimension-sized distinct-word table — blocks
+    never transit the driver, only pair-count partials do. Oracle row:
+    n_docs is SQL-live; seq_parity pins the distributed merge list
+    EXACTLY equal to an independent naive in-memory trainer replayed
+    on the same word counts (deterministic count-desc/pair-asc
+    tie-break makes the list unique)."""
+    from .stages.bpe import bpe_train, bpe_train_sequential
+
+    n_merges = 12
+    n_docs = _meta_rows(sf_dir, "documents")
+    wc = _bpe_word_counts(sf_dir)
     merges = bpe_train(wc, n_merges=n_merges)
 
     # oracle replay on the same (dimension-sized) word-count table
@@ -354,6 +359,84 @@ def doc_bpe_train(sf_dir: str):
         "n_merges": pa.array([n_merges], pa.int64()),
         "seq_parity": pa.array([merges == seq], pa.bool_()),
         "merges_nonempty": pa.array([len(merges) > 0], pa.bool_()),
+    })
+
+
+@_q(
+    "doc_bpe_encode",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST(12 AS BIGINT) AS n_merges,
+           true AS encode_parity,
+           true AS compressed
+    """,
+)
+def doc_bpe_encode(sf_dir: str):
+    """BPE ENCODE over the corpus with the trained merges — the
+    stateful actor-pool stage (stages/bpe.BpeEncoder: merge-rank table
+    loads once per actor in __init__, per-batch work is one encode per
+    DISTINCT word via np.unique + a per-actor cache; Zipf keeps
+    distinct-per-batch tiny). Oracle row: n_docs SQL-live;
+    encode_parity replays a hash-bounded doc sample through an
+    independent scan-per-rank sequential encoder and pins per-doc
+    subtoken counts equal; compressed pins n_words <= n_subtokens <=
+    n_letter_chars on the full corpus (each word >= 1 token, merging
+    only shrinks)."""
+    import polars as pl
+
+    from .stages.bpe import BpeEncoder, bpe_train, encode_word_sequential
+
+    n_merges = 12
+    n_docs = _meta_rows(sf_dir, "documents")
+    merges = bpe_train(_bpe_word_counts(sf_dir), n_merges=n_merges)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = ds.map_batches(
+        BpeEncoder, fn_constructor_kwargs={"merges": merges},
+        concurrency=(1, 4), batch_size=512,
+        batch_format="pyarrow").materialize()
+
+    tot_words = tot_sub = 0
+    per_doc: dict[int, int] = {}
+    keep_mod = max(1, n_docs // 64)
+    for b in enc.iter_batches(batch_format="pyarrow", batch_size=8192):
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        nsub = b["n_subtokens"].to_numpy(zero_copy_only=False)
+        tot_words += int(nw.sum())
+        tot_sub += int(nsub.sum())
+        sel = ((np.abs(dids) % 1000003) * 2654435761 % 1000003) \
+            % keep_mod == 0
+        for d, s in zip(dids[sel], nsub[sel]):
+            per_doc[int(d)] = int(s)
+
+    # independent sequential replay of the sampled docs
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", sorted(per_doc))])
+    dfp = pl.from_arrow(tab)
+    parity = True
+    n_chars = 0
+    for d, txt in zip(dfp["doc_id"], dfp["text"]):
+        words = pl.Series([txt]).str.to_lowercase() \
+            .str.extract_all(r"[a-z]+")[0].to_list()
+        want = sum(len(encode_word_sequential(w, merges)) for w in words)
+        parity &= per_doc.get(int(d), -1) == want
+    compressed = tot_words <= tot_sub
+    # letters upper bound: chars-in-words >= subtokens
+    wc = _bpe_word_counts(sf_dir)
+    for b in wc.iter_batches(batch_format="pyarrow", batch_size=8192):
+        lens = pc.utf8_length(b["word"]).to_numpy(zero_copy_only=False)
+        cnts = b["cnt"].to_numpy(zero_copy_only=False)
+        n_chars += int((lens * cnts).sum())
+    compressed &= tot_sub <= n_chars
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_merges": pa.array([n_merges], pa.int64()),
+        "encode_parity": pa.array([bool(parity)], pa.bool_()),
+        "compressed": pa.array([bool(compressed)], pa.bool_()),
     })
 
 
@@ -4989,7 +5072,7 @@ def supplier_nation_join(sf_dir: str):
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
-    "doc_bpe_train", "doc_dup_ngrams",
+    "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",

@@ -197,3 +197,110 @@ def bpe_train_sequential(word_counts: dict[str, int],
                     i += 1
             words[w] = out
     return merges
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: the trained merge table loads ONCE per
+    actor (``__init__``), batches stream through ``__call__``.
+
+    Encoding applies merges in rank order greedily (lowest-rank
+    adjacent pair first — the standard BPE encode, matching what
+    training produced for in-vocabulary words). Per-batch work is
+    word-level: each DISTINCT word in the batch is encoded once
+    (np.unique + a per-actor LRU-ish dict cache), counts map back via
+    the unique inverse — Zipf makes distinct-per-batch tiny relative
+    to positions."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self._ranks = {tuple(m): r for r, m in enumerate(merges)}
+        self._cache: dict[str, int] = {}
+
+    def _n_tokens(self, word: str) -> int:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        ranks = self._ranks
+        while len(syms) > 1:
+            # lowest-rank pair present, then merge ALL its occurrences
+            # left-to-right (standard BPE encode — one occurrence at a
+            # time diverges when the merge enables a lower-rank pair)
+            best_r, best = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best = r, (syms[i], syms[i + 1])
+            if best_r is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n = len(syms)
+        if len(self._cache) < 1_000_000:  # bound per-actor memory
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z]+").alias("word"))
+            .drop("text").explode("word")
+            .filter(pl.col("word").is_not_null()))
+        doc = d["doc_id"].to_numpy()
+        words = d["word"].to_numpy()
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("n_words", pa.int64()),
+                                ("n_subtokens", pa.int64())])
+        if len(words) == 0:
+            return out_schema.empty_table()
+        uniq, inv = np.unique(words, return_inverse=True)
+        per_uniq = np.array([self._n_tokens(w) for w in uniq], np.int64)
+        toks = per_uniq[inv]
+        uid, dinv = np.unique(doc, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uid, pa.int64()),
+            "n_words": pa.array(np.bincount(dinv), pa.int64()),
+            "n_subtokens": pa.array(
+                np.bincount(dinv, weights=toks).astype(np.int64),
+                pa.int64()),
+        }, schema=out_schema)
+
+
+def encode_word_sequential(word: str,
+                           merges: list[tuple[str, str]]) -> list[str]:
+    """Independent naive encode (scan per merge in rank order) — the
+    parity oracle for BpeEncoder."""
+    syms = list(word)
+    changed = True
+    while changed and len(syms) > 1:
+        # find the lowest-rank pair present, then merge ALL its
+        # occurrences left-to-right (equivalent to repeated single
+        # lowest-rank merges because merging (a,b) can only create
+        # pairs involving a+b, never a new earlier-rank (a,b))
+        changed = False
+        for a, b in merges:
+            i, out = 0, []
+            hit = False
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    hit = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if hit:
+                syms = out
+                changed = True
+                break
+    return syms

@@ -52,3 +52,46 @@ def test_bpe_exhausts_pairs(ray_session):
     counts = {"ab": 3}
     merges = bpe_train(_wc_ds(counts, parts=1), n_merges=10)
     assert merges == [("a", "b")]
+
+
+def test_bpe_encoder_parity(ray_session):
+    """Actor-pool encoder vs the independent scan-per-rank oracle,
+    including the one-occurrence-vs-all-occurrences divergence case
+    (merge enabling a lower-rank pair: 'abab' with (ab,a) rank 0)."""
+    from skosconverter_ray.stages.bpe import (BpeEncoder,
+                                              encode_word_sequential)
+
+    merges = [("a", "b"), ("ab", "a"), ("c", "d"), ("ab", "ab")]
+    # rank of (ab,a)=1 > (a,b)=0 here; also craft the reverse order
+    merges2 = [("ab", "a"), ("a", "b"), ("e", "f")]
+    for ms in (merges, merges2):
+        enc = BpeEncoder(merges=ms)
+        for w in ("abab", "ababa", "aabb", "cdcd", "abcdab",
+                  "x", "", "efef", "aaaa"):
+            got = enc._n_tokens(w)
+            want = len(encode_word_sequential(w, ms))
+            assert got == want, (ms, w, got, want)
+
+
+def test_bpe_encoder_batch(ray_session):
+    from skosconverter_ray.stages.bpe import (BpeEncoder,
+                                              encode_word_sequential)
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["low lowest low", "newest widest", "  "],
+                         pa.string()),
+    })
+    out = rd.from_arrow(docs).map_batches(
+        BpeEncoder, fn_constructor_kwargs={"merges": merges},
+        concurrency=(1, 2), batch_size=2,
+        batch_format="pyarrow").take_all()
+    got = {r["doc_id"]: (r["n_words"], r["n_subtokens"]) for r in out}
+    def seq(text):
+        ws = [w for w in __import__("re").findall("[a-z]+", text.lower())]
+        return (len(ws),
+                sum(len(encode_word_sequential(w, merges)) for w in ws))
+    assert got[1] == seq("low lowest low")
+    assert got[2] == seq("newest widest")
+    assert 3 not in got  # wordless doc emits no row
