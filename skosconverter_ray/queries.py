@@ -1256,6 +1256,65 @@ def graph_pagerank(sf_dir: str):
     })
 
 
+def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None):
+    """Supplier co-part edges (a, b int64; a and b supply a common
+    part; one row per distinct (part, a, b) — shared-part multiplicity
+    kept): distinct (p, s) via bucket aggregate, per-part pair
+    expansion inside one task-scatter cogroup. ``part_mod`` keeps only
+    parts with ``hash(p) % part_mod == 0`` (bounded subgraphs for
+    sequential-oracle parity rows)."""
+    from .functions.hashing import bucket_of
+    from .stages.shardutil import scatter_apply_by_value
+    from .stages.skew import bucket_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": pc.cast(b["l_partkey"], pa.int64()),
+                      "s": pc.cast(b["l_suppkey"], pa.int64())})
+        if part_mod is not None:
+            pv = t["p"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(
+                ((np.abs(pv) % 1000003) * 2654435761 % 1000003)
+                % part_mod == 0))
+        return t
+
+    ps = bucket_aggregate(
+        li.map_batches(norm, batch_format="pyarrow"),
+        ["p", "s"], [("count", None, "_c")],
+        num_buckets=16).drop_columns(["_c"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", bucket_of(pc.cast(batch["p"], pa.string()), 16))
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        group = group.drop_columns(["_bucket"])
+        p = group["p"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p_s, s_s = p[order], s[order]
+        _u, starts = np.unique(p_s, return_index=True)
+        lens = np.diff(np.append(starts, len(p_s)))
+        ranks = np.arange(len(p_s)) - np.repeat(starts, lens)
+        cnt = np.repeat(lens, lens) - 1 - ranks
+        total = int(cnt.sum())
+        if not total:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(p_s)), cnt)
+        second = first + 1 + (np.arange(total)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pa.table({"a": s_s[first], "b": s_s[second]})
+
+    return scatter_apply_by_value(
+        ps.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", 16, part_pairs)
+
+
 @_q(
     "graph_triangles",
     """
@@ -1278,48 +1337,82 @@ def graph_triangles(sf_dir: str):
     arboricity-bounded); the co-supplier edges themselves come from a
     per-part pair expansion inside one bucket cogroup. Oracle: the
     3-way self-join in DuckDB."""
-    from .functions.hashing import bucket_of
     from .stages.graph import triangle_count
-    from .stages.skew import bucket_aggregate
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    ps = bucket_aggregate(
-        li.map_batches(
-            lambda b: pa.table({"p": pc.cast(b["l_partkey"], pa.int64()),
-                                "s": pc.cast(b["l_suppkey"], pa.int64())}),
-            batch_format="pyarrow"),
-        ["p", "s"], [("count", None, "_c")],
-        num_buckets=16).drop_columns(["_c"])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", bucket_of(pc.cast(batch["p"], pa.string()), 16))
-
-    def part_pairs(group: pa.Table) -> pa.Table:
-        p = group["p"].to_numpy(zero_copy_only=False)
-        s = group["s"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, p))
-        p_s, s_s = p[order], s[order]
-        _u, starts = np.unique(p_s, return_index=True)
-        lens = np.diff(np.append(starts, len(p_s)))
-        ranks = np.arange(len(p_s)) - np.repeat(starts, lens)
-        cnt = np.repeat(lens, lens) - 1 - ranks
-        total = int(cnt.sum())
-        if not total:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        first = np.repeat(np.arange(len(p_s)), cnt)
-        second = first + 1 + (np.arange(total)
-                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        return pa.table({"a": s_s[first], "b": s_s[second]})
-
-    edges = (ps.map_batches(tag, batch_format="pyarrow")
-             .groupby("_bucket")
-             .map_groups(lambda g: part_pairs(g.drop_columns(["_bucket"])),
-                         batch_format="pyarrow"))
+    edges = _copart_supplier_pairs(sf_dir)
     n_tri, n_edges = triangle_count(edges, num_buckets=16)
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
                      "n_edges": pa.array([n_edges], pa.int64())})
+
+
+@_q(
+    "graph_communities",
+    """
+    SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pair_rows,
+           CAST(5 AS BIGINT) AS n_rounds,
+           true AS engines_match,
+           true AS seq_parity,
+           true AS labels_are_members
+    FROM (SELECT count(DISTINCT l_suppkey) AS c
+          FROM lineitem GROUP BY l_partkey)
+    """,
+)
+def graph_communities(sf_dir: str):
+    """Deterministic synchronous label propagation
+    (stages/communities.py — the fourth iterative-tier operator, and
+    the first with MODE message aggregation) over the supplier
+    co-part graph (unipartite and clique-rich: synchronous LPA
+    oscillates on bipartite graphs, so the raw supplier->part edges
+    would be the wrong input). Oracle row: n_pair_rows (co-part pair
+    rows = Σ c·(c−1)/2 over parts) is SQL-live; engines_match pins the
+    Pregel shard-actor engine to the numpy driver engine label-for-
+    label on a hash-bounded part subgraph; seq_parity pins the driver
+    engine to an independent plain-Python oracle on the same
+    subgraph; labels_are_members pins every full-graph community
+    label to be one of its member node ids."""
+    from .stages.communities import (label_propagation,
+                                     label_propagation_sequential)
+
+    n_pair_rows = _copart_supplier_pairs(sf_dir).count()
+
+    # bounded subgraph: both engines + the independent oracle
+    sub = _copart_supplier_pairs(sf_dir, part_mod=8).materialize()
+    drv = {r["node"]: r["label"]
+           for b in label_propagation(sub, n_iter=5, src_col="a",
+                                      dst_col="b")
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    act = {r["node"]: r["label"]
+           for b in label_propagation(sub, n_iter=5, src_col="a",
+                                      dst_col="b", engine="actors",
+                                      max_driver_edges=0, num_shards=4)
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    srcs, dsts = [], []
+    for b in sub.iter_batches(batch_format="pyarrow", batch_size=65536):
+        srcs += [str(x) for x in b["a"].to_pylist()]
+        dsts += [str(x) for x in b["b"].to_pylist()]
+    seq = label_propagation_sequential(srcs, dsts, n_iter=5)
+    engines_match = act == drv
+    seq_parity = drv == seq
+
+    # full graph on the actor engine; labels must be member node ids
+    full = label_propagation(
+        _copart_supplier_pairs(sf_dir), n_iter=5, src_col="a",
+        dst_col="b", engine="actors", max_driver_edges=0,
+        num_shards=8).materialize()
+    nodes, labels = set(), set()
+    for b in full.iter_batches(batch_format="pyarrow", batch_size=65536):
+        nodes.update(b["node"].to_pylist())
+        labels.update(b["label"].to_pylist())
+    labels_ok = labels <= nodes and len(nodes) > 0
+    return pa.table({
+        "n_pair_rows": pa.array([n_pair_rows], pa.int64()),
+        "n_rounds": pa.array([5], pa.int64()),
+        "engines_match": pa.array([bool(engines_match)], pa.bool_()),
+        "seq_parity": pa.array([bool(seq_parity)], pa.bool_()),
+        "labels_are_members": pa.array([bool(labels_ok)], pa.bool_()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -5073,6 +5166,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
+    "graph_communities",
     # new in round 3 — no driver row yet
     "doc_decontaminate", "doc_unigram_surprisal", "doc_pack_sequences",
     "doc_repetition_signals", "graph_checkpoint_resume",
