@@ -62,8 +62,10 @@ HEADLINE = [
     "embedding_kmeans",
     "embedding_semantic_dedup",
     "doc_bpe_train",
+    "doc_bpe_encode",
     "doc_dup_ngrams",
     "graph_triangles",
+    "graph_communities",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
@@ -236,7 +238,70 @@ def _measure_ceiling() -> dict:
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
 
 
-def run_scaling() -> None:
+def _dedup_corpus(n_docs: int, num_cpus: int):
+    """Deterministic flat (doc_id, text) corpus with a controlled
+    duplicate structure: every 4th doc is an EXACT copy of its
+    predecessor, every 7th a near-dup (one word appended). Generated
+    distributed (one task per index block); documents never touch the
+    driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    WORDS = [f"w{i:03d}" for i in range(600)]
+
+    def gen(batch):
+        ids = batch["id"].to_numpy()
+        texts = []
+        for i in ids:
+            i = int(i)
+            is_exact = i % 4 == 0 and i > 0
+            is_near = (not is_exact) and i % 7 == 0 and i > 0
+            base = i - 1 if (is_exact or is_near) else i
+            rng = np.random.default_rng(9000 + base)
+            words = rng.choice(WORDS, size=60).tolist()
+            if is_near:
+                words.append("tail%d" % (i % 13))
+            texts.append(" ".join(words))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = rd.range(n_docs, override_num_blocks=max(64, num_cpus * 4))
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2000)
+
+
+def _scale_dedup_worker(num_cpus: int) -> None:
+    """Second-pipeline scaling job: exact dedup + MinHash near-dup
+    over a corpus with ~25% exact / ~10% near duplicates — the
+    shuffle-heavy shape (vs the flagship's linker-dominated one)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from skosconverter_ray.queries import _text_hash_batch
+    from skosconverter_ray.stages.dedup import minhash_near_dup_pairs
+    from skosconverter_ray.stages.skew import bucket_aggregate
+
+    n_docs = SCALING_DOCS
+    docs = _dedup_corpus(n_docs, num_cpus).materialize()
+    t0 = time.perf_counter()
+    hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow")
+    exact = bucket_aggregate(hashed.select_columns(["_h", "doc_id"]),
+                             ["_h"], [("min", "doc_id", "doc_id"),
+                                      ("count", None, "n_copies")],
+                             num_buckets=128)
+    n_unique = exact.count()
+    n_pairs = minhash_near_dup_pairs(docs, threshold=0.8).count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),
+                      "docs": n_docs, "unique": n_unique,
+                      "near_pairs": n_pairs,
+                      "docs_per_s": round(n_docs / wall, 1)}))
+    ray.shutdown()
+
+
+def run_scaling(worker_flag: str = "--_scale-worker",
+                label: str = "") -> None:
     ceiling = _measure_ceiling()
     results = []
     for cpus in SCALING_CPUS:
@@ -247,7 +312,7 @@ def run_scaling() -> None:
         for _ in range(SCALING_REPEATS):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--_scale-worker", str(cpus)],
+                 worker_flag, str(cpus)],
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [ln for ln in proc.stdout.splitlines()
@@ -260,7 +325,8 @@ def run_scaling() -> None:
     factor = SCALING_CPUS[1] / SCALING_CPUS[0]
     eff = round(r_4n / (factor * r_n), 3)
     print(json.dumps({
-        "metric": f"scaling_efficiency_{SCALING_CPUS[0]}_to_{SCALING_CPUS[1]}_cpus",
+        "metric": (f"scaling_efficiency{label}_"
+                   f"{SCALING_CPUS[0]}_to_{SCALING_CPUS[1]}_cpus"),
         "value": eff,
         "unit": "ratio",
         "runs": results,
@@ -277,6 +343,11 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--_scale-worker" in sys.argv:
         _scale_worker(int(sys.argv[sys.argv.index("--_scale-worker") + 1]))
+    elif "--_scale-dedup-worker" in sys.argv:
+        _scale_dedup_worker(
+            int(sys.argv[sys.argv.index("--_scale-dedup-worker") + 1]))
+    elif "--scaling-dedup" in sys.argv:
+        run_scaling(worker_flag="--_scale-dedup-worker", label="_dedup")
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

@@ -252,27 +252,34 @@ def candidate_pairs(index_ds, *, num_buckets: int = 64):
             "_bucket", pa.array(mix.astype(np.int32), pa.int32()))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
+        id_type = group["doc_id"].type
         band = group["band"].to_numpy(zero_copy_only=False)
         key = group["key"].to_numpy(zero_copy_only=False)
-        docs = group["doc_id"].to_pylist()
-        order = np.lexsort((key, band))
-        b_s, k_s = band[order], key[order]
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        # doc included in the sort key => members of each (band, key)
+        # run come out id-sorted, so the repeat/cumsum expansion below
+        # emits every within-run pair with a < b, fully vectorized
+        # (the Python member loop cost 6.1 s of the 23.6 s 600k-doc
+        # near-dup wall at 16 cpus)
+        order = np.lexsort((docs, key, band))
+        b_s, k_s, d_s = band[order], key[order], docs[order]
         run_start = np.flatnonzero(
             np.concatenate(([True], (b_s[1:] != b_s[:-1])
                             | (k_s[1:] != k_s[:-1]))))
-        run_end = np.concatenate((run_start[1:], [len(order)]))
-        a_out, b_out = [], []
-        for s, e in zip(run_start, run_end):
-            if e - s < 2:
-                continue
-            members = sorted(docs[i] for i in order[s:e])
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    if members[i] != members[j]:
-                        a_out.append(members[i])
-                        b_out.append(members[j])
-        return pa.table({"doc_a": pa.array(a_out, group["doc_id"].type),
-                         "doc_b": pa.array(b_out, group["doc_id"].type)})
+        lens = np.diff(np.append(run_start, len(d_s)))
+        ranks = np.arange(len(d_s)) - np.repeat(run_start, lens)
+        cnt = np.repeat(lens, lens) - 1 - ranks
+        total = int(cnt.sum())
+        if not total:
+            return pa.table({"doc_a": pa.array([], id_type),
+                             "doc_b": pa.array([], id_type)})
+        first = np.repeat(np.arange(len(d_s)), cnt)
+        second = first + 1 + (np.arange(total)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        a_v, b_v = d_s[first], d_s[second]
+        ne = a_v != b_v  # duplicate ids inside a run emit no self-pair
+        return pa.table({"doc_a": pa.array(a_v[ne], id_type),
+                         "doc_b": pa.array(b_v[ne], id_type)})
 
     from .shardutil import scatter_apply_by_value
 
@@ -307,6 +314,10 @@ def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
 
 _MINHASH_BROADCAST_MAX = int(
     os.environ.get("GRAFT_MINHASH_BROADCAST_MAX", "100000"))
+# NOTE (round 4, measured): broadening this gate to ~300 MB of blobs
+# (600k docs) made verify 4x SLOWER, not faster — the driver-side dict
+# build over iter_batches plus per-worker pickle deserialization
+# dominates long before worker heap does. The doc-count gate stands.
 
 
 def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
@@ -331,13 +342,6 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
         MinHashStage(text_col, id_col),
         batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs(index, num_buckets=num_partitions * 4)
-    # a pair surfacing in k bands appears k times -> dedup on the pair
-    # (bucket cogroup, not a (doc_a,doc_b)-keyed sort exchange)
-    from .skew import bucket_aggregate
-
-    cand = bucket_aggregate(cand, ["doc_a", "doc_b"],
-                            [("count", None, "_n")],
-                            bucket_key="doc_a").drop_columns(["_n"])
 
     # materialized once: BOTH join sides below read it, and a lazy
     # dataset would be recomputed per consumer by the streaming
@@ -349,7 +353,14 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     if sh.count() <= _MINHASH_BROADCAST_MAX:
         # broadcast-verify: the shingle table is small-side — ship it
         # once and verify pairs in a single map (saves two cogroup
-        # exchanges, ~2.5s of fixed shuffle latency at sandbox scale)
+        # exchanges, ~2.5s of fixed shuffle latency at sandbox scale).
+        # a pair surfacing in k bands appears k times -> dedup on the
+        # pair first (one bucket cogroup)
+        from .skew import bucket_aggregate
+
+        cand = bucket_aggregate(cand, ["doc_a", "doc_b"],
+                                [("count", None, "_n")],
+                                bucket_key="doc_a").drop_columns(["_n"])
         import ray
 
         blob: dict = {}
@@ -373,29 +384,52 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
             return exact_jaccard_batch(joined, threshold=threshold)
 
         return cand.map_batches(verify, batch_format="pyarrow")
+    # distributed verify (round 4): TWO task-level cogroup exchanges
+    # replace pair-dedup + two tagged cogroup joins (six barrier steps
+    # down to two — the fixed per-barrier latency, not data volume,
+    # dominated the two-width scaling of this pipeline). Exchange 1
+    # cogroups the RAW banding pairs with the shingle table on doc_a:
+    # every duplicate copy of a pair shares doc_a, so the local
+    # distinct sees them all; shingles_a attaches via one local Arrow
+    # join. Exchange 2 cogroups the halves with the shingle table on
+    # doc_b, attaches shingles_b and verifies exact jaccard inline.
+    # Both inputs are from_arrow_refs outputs, so each exchange reads
+    # existing refs — no re-materialize.
+    from .shardutil import cogroup_scatter
+
     names = docs_ds.schema().names  # parquet metadata only — cheap
     id_type = docs_ds.schema().types[names.index(id_col)]
-    pair_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
-    sh_a_schema = pa.schema([("_id_a", id_type), ("shingles_a", pa.binary())])
-    sh_b_schema = pa.schema([("_id_b", id_type), ("shingles_b", pa.binary())])
+    half_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                             ("shingles_a", pa.binary())])
+    out_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                            ("jaccard", pa.float64())])
 
-    sh_a = sh.rename_columns({"doc_id": "_id_a", "shingles": "shingles_a"})
-    sh_b = sh.rename_columns({"doc_id": "_id_b", "shingles": "shingles_b"})
-    # schemas passed explicitly: .schema() on the lazy join output
-    # would re-execute join #1 just to infer types
-    joined = cogroup_join(cand, sh_a, left_on="doc_a", right_on="_id_a",
-                          num_buckets=num_partitions,
-                          left_schema=pair_schema, right_schema=sh_a_schema)
-    joined = joined.drop_columns(["_id_a"])
-    j1_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
-                           ("shingles_a", pa.binary())])
-    joined = cogroup_join(joined, sh_b, left_on="doc_b", right_on="_id_b",
-                          num_buckets=num_partitions,
-                          left_schema=j1_schema, right_schema=sh_b_schema)
-    joined = joined.drop_columns(["_id_b"])
-    return joined.map_batches(
-        lambda b: exact_jaccard_batch(b, threshold=threshold),
-        batch_format="pyarrow")
+    def attach_a(pairs: pa.Table | None, sh_t: pa.Table | None):
+        if pairs is None or sh_t is None:
+            return half_schema.empty_table()
+        pairs = pairs.group_by(["doc_a", "doc_b"]).aggregate([])
+        sh_a = sh_t.rename_columns(["_id_a", "shingles_a"])
+        return pairs.join(sh_a, keys=["doc_a"], right_keys=["_id_a"],
+                          join_type="inner").select(
+            ["doc_a", "doc_b", "shingles_a"]).cast(half_schema)
+
+    def attach_b_verify(half: pa.Table | None, sh_t: pa.Table | None,
+                        _thr=threshold):
+        if half is None or sh_t is None:
+            return out_schema.empty_table()
+        sh_b = sh_t.rename_columns(["_id_b", "shingles_b"])
+        joined = half.join(sh_b, keys=["doc_b"], right_keys=["_id_b"],
+                           join_type="inner")
+        return exact_jaccard_batch(joined, threshold=_thr) \
+            .cast(out_schema)
+
+    halves = cogroup_scatter(cand, "doc_a", sh, "doc_id",
+                             num_partitions, attach_a,
+                             empty_result=half_schema.empty_table())
+    return cogroup_scatter(halves, "doc_b", sh, "doc_id",
+                           num_partitions, attach_b_verify,
+                           empty_result=out_schema.empty_table())
+
 
 
 # ---------------------------------------------------------------------------

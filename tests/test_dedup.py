@@ -522,3 +522,34 @@ def test_image_resize_exact_and_roundtrip(ray_session):
         local = mm.box_resize(src, 8, 8)
         assert r["pixel_sum"] == int(local.astype(np.int64).sum())
         assert mm.decode_bmp(r["thumb"]).tobytes() == local.tobytes()
+
+
+def test_minhash_distributed_verify_parity(ray_session, monkeypatch):
+    """The two-exchange cogroup verify (the >100k-doc path) must emit
+    exactly the broadcast path's pairs."""
+    import ray.data as rd
+
+    from skosconverter_ray.stages import dedup as D
+
+    texts = []
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rng = __import__("numpy").random.default_rng(3)
+    for i in range(300):
+        words = rng.choice(base, size=12).tolist()
+        texts.append(" ".join(words))
+        if i % 5 == 0:
+            texts.append(" ".join(words) + " phi")  # near-dup
+    tbl = __import__("pyarrow").table({
+        "doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(tbl).repartition(5).materialize()
+
+    broad = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 12)
+             for r in D.minhash_near_dup_pairs(ds, threshold=0.7)
+             .take_all()}
+    monkeypatch.setattr(D, "_MINHASH_BROADCAST_MAX", 0)
+    dist = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 12)
+            for r in D.minhash_near_dup_pairs(ds, threshold=0.7)
+            .take_all()}
+    assert broad == dist
+    assert len(broad) > 0
