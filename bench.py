@@ -120,6 +120,7 @@ def run_headline() -> None:
     # PIPELINE itself, like-for-like with prior rounds, via shared
     # helpers.
     from skosconverter_ray.queries import (
+        _communities_actor_labels,
         _flagship_graph_outputs,
         _pagerank_actor_ranks,
         _tree_order_distributed_rows,
@@ -129,6 +130,7 @@ def run_headline() -> None:
         "flagship_graph": lambda sf: _flagship_graph_outputs(sf)["graph"],
         "graph_pagerank": _pagerank_actor_ranks,
         "skos_tree_order_distributed": _tree_order_distributed_rows,
+        "graph_communities": _communities_actor_labels,
     }
 
     per_query: dict[str, float] = {}

@@ -1345,6 +1345,16 @@ def graph_triangles(sf_dir: str):
                      "n_edges": pa.array([n_edges], pa.int64())})
 
 
+def _communities_actor_labels(sf_dir: str):
+    """Shard-actor LPA over the full co-part graph (bench entry: the
+    pipeline alone, without the oracle row's parity replays)."""
+    from .stages.communities import label_propagation
+
+    return label_propagation(
+        _copart_supplier_pairs(sf_dir), n_iter=5, src_col="a",
+        dst_col="b", engine="actors", max_driver_edges=0, num_shards=8)
+
+
 @_q(
     "graph_communities",
     """
@@ -1397,10 +1407,7 @@ def graph_communities(sf_dir: str):
     seq_parity = drv == seq
 
     # full graph on the actor engine; labels must be member node ids
-    full = label_propagation(
-        _copart_supplier_pairs(sf_dir), n_iter=5, src_col="a",
-        dst_col="b", engine="actors", max_driver_edges=0,
-        num_shards=8).materialize()
+    full = _communities_actor_labels(sf_dir).materialize()
     nodes, labels = set(), set()
     for b in full.iter_batches(batch_format="pyarrow", batch_size=65536):
         nodes.update(b["node"].to_pylist())
