@@ -294,18 +294,175 @@ def doc_dup_ngrams(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Documents: BPE tokenizer TRAINING (distributed merge learning)
+# Documents: duplicated-SPAN removal accounting (Lee et al. 2022 exact-
+# substring dedup at 5-gram granularity: which token positions of each
+# document are covered by a corpus-duplicated gram, i.e. would be cut
+# by span removal)
 # ---------------------------------------------------------------------------
 
 @_q(
-    "doc_bpe_train",
-    """
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
-           CAST(12 AS BIGINT) AS n_merges,
-           true AS seq_parity,
-           true AS merges_nonempty
+    "doc_span_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ), c AS (
+      SELECT g, count(*) AS c FROM grams GROUP BY g
+    ), starts AS (
+      SELECT doc_id, pos FROM grams JOIN c USING (g) WHERE c.c >= 2
+    ), cov AS (
+      SELECT doc_id, count(*) AS dup_starts,
+             CAST(sum(LEAST(d, 5)) AS BIGINT) AS covered_tokens
+      FROM (SELECT doc_id,
+                   pos - coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                                  pos - 5) AS d
+            FROM starts)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id, len(toks.t) AS n_tokens,
+           coalesce(cov.dup_starts, 0) AS dup_starts,
+           coalesce(cov.covered_tokens, 0) AS covered_tokens
+    FROM toks LEFT JOIN cov USING (doc_id)
     """,
 )
+def doc_span_dedup(sf_dir: str):
+    """Exact-substring span-removal accounting (Lee et al. 2022,
+    arXiv:2107.06499, at token-5-gram granularity): for every document,
+    how many token positions fall inside a span covered by a gram that
+    occurs >= 2 times in the corpus — the mass that span removal would
+    cut. dup_starts = duplicated gram occurrences; covered_tokens =
+    |union of [pos, pos+4] over those starts| (exact interval-union
+    arithmetic: with starts sorted, each contributes min(gap_to_prev,
+    5) new tokens, so the sum telescopes without building positions).
+
+    Shape: one gram-OCCURRENCE pass (positions kept — no aggregation),
+    one gram-bucket count aggregate, one gram cogroup join + c>=2
+    filter, one task-level hash scatter by doc for the interval union
+    (all starts of a doc land in one bucket; the per-bucket kernel is
+    one lexsort + reduceat across every doc in the bucket), one doc
+    cogroup left join against the per-doc token counts so zero-dup
+    docs keep a row. No all-pairs, no broadcast of corpus-sized state."""
+    import polars as pl
+
+    from .functions.hashing import mix64
+    from .stages.joinutil import cogroup_join
+    from .stages.shardutil import scatter_apply_by_value
+    from .stages.skew import bucket_aggregate
+
+    n = 5
+    nb = _adaptive_buckets(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    occ_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("gram", pa.string())])
+
+    def occ_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        d = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("tok"))
+            .drop("text").explode("tok")
+            .filter(pl.col("tok").is_not_null())
+            .with_row_index("_i"))
+        # 0-based position within the doc (explode keeps doc rows
+        # contiguous and ordered, so a global row index re-based per
+        # doc is the token position)
+        d = d.with_columns(
+            (pl.col("_i") - pl.col("_i").min().over("doc_id"))
+            .cast(pl.Int64).alias("pos")).drop("_i")
+        shifted = [pl.col("tok")] + [
+            pl.col("tok").shift(-i).over("doc_id").alias(f"_t{i}")
+            for i in range(1, n)]
+        d = (d.with_columns(
+                pl.concat_str(shifted, separator=" ").alias("gram"))
+             .filter(pl.col("gram").is_not_null())
+             .select(["doc_id", "pos", "gram"]))
+        return d.to_arrow().cast(occ_schema)
+
+    occ = ds.map_batches(occ_batch, batch_format="pyarrow").materialize()
+    cnt = bucket_aggregate(occ.select_columns(["gram"]), ["gram"],
+                           [("count", None, "c")], num_buckets=nb)
+    joined = cogroup_join(
+        occ, cnt, left_on="gram", right_on="gram", join_type="inner",
+        num_buckets=nb, left_schema=occ_schema,
+        right_schema=pa.schema([("gram", pa.string()),
+                                ("c", pa.int64())]))
+
+    def dup_starts(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["c"], pa.scalar(2, pa.int64()))
+        t = batch.filter(keep)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = ((mix64(did.astype(np.uint64)) >> np.uint64(32))
+             .astype(np.int64) % nb)
+        return pa.table({"doc_id": t["doc_id"], "pos": t["pos"],
+                         "_bucket": pa.array(b, pa.int64())})
+
+    starts = joined.map_batches(dup_starts, batch_format="pyarrow")
+
+    cov_schema = pa.schema([("doc_id", pa.int64()),
+                            ("dup_starts", pa.int64()),
+                            ("covered_tokens", pa.int64())])
+
+    def cov_bucket(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, did))
+        did, pos = did[order], pos[order]
+        d = np.full(len(pos), n, np.int64)
+        if len(pos) > 1:
+            gap = pos[1:] - pos[:-1]
+            same = did[1:] == did[:-1]
+            d[1:][same] = np.minimum(gap[same], n)
+        uniq, idx = np.unique(did, return_index=True)
+        covered = np.add.reduceat(d, idx) if len(d) else np.array([], np.int64)
+        n_starts = np.diff(np.append(idx, len(did)))
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "dup_starts": pa.array(n_starts, pa.int64()),
+                         "covered_tokens": pa.array(covered, pa.int64())})
+
+    cov = scatter_apply_by_value(starts.materialize(), "_bucket", nb,
+                                 cov_bucket,
+                                 empty_result=cov_schema.empty_table())
+
+    # per-doc token counts (cheap vectorized count — no explode)
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"[a-z0-9]+")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pc.cast(nt, pa.int64())})
+
+    stats = ds.map_batches(tok_counts, batch_format="pyarrow")
+    out = cogroup_join(
+        stats, cov, left_on="doc_id", right_on="doc_id",
+        join_type="left outer", num_buckets=nb,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64())]),
+        right_schema=cov_schema)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "dup_starts": pc.coalesce(batch["dup_starts"], z),
+            "covered_tokens": pc.coalesce(batch["covered_tokens"], z),
+        })
+
+    return _collect(out.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64()),
+                               ("dup_starts", pa.int64()),
+                               ("covered_tokens", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Documents: BPE tokenizer TRAINING (distributed merge learning)
+# ---------------------------------------------------------------------------
+
 def _bpe_word_counts(sf_dir: str):
     """Materialized (word, cnt) table over documents — the one corpus
     pass + one exchange shared by the BPE train/encode queries."""
@@ -332,6 +489,15 @@ def _bpe_word_counts(sf_dir: str):
         num_buckets=_adaptive_buckets(sf_dir, "documents")).materialize()
 
 
+@_q(
+    "doc_bpe_train",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST(12 AS BIGINT) AS n_merges,
+           true AS seq_parity,
+           true AS merges_nonempty
+    """,
+)
 def doc_bpe_train(sf_dir: str):
     """Distributed BPE-merge training (stages/bpe.py): ONE corpus pass
     + one word-count exchange, then 12 fused apply-merge/count-pairs
@@ -5162,6 +5328,142 @@ def supplier_nation_join(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: DSIR-style importance selection (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling") — score
+# every document by how much more likely its tokens are under a
+# TARGET-domain unigram LM than under the raw-corpus LM, in exact
+# integer bit arithmetic.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dsir_selection",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT t, count(*) AS c_raw,
+             count(*) FILTER (WHERE lang = 'en') AS c_tgt
+      FROM tok GROUP BY t
+    ),
+    tot AS (
+      SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v
+      FROM cnt
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(
+             length(bin(((SELECT n_raw + v FROM tot)) // (c_raw + 1)))
+             - length(bin(((SELECT n_tgt + v FROM tot)) // (c_tgt + 1)))
+           ) AS BIGINT) AS dsir_bits,
+           CAST(sum(
+             length(bin(((SELECT n_raw + v FROM tot)) // (c_raw + 1)))
+             - length(bin(((SELECT n_tgt + v FROM tot)) // (c_tgt + 1)))
+           ) AS BIGINT) >= 0 AS selected
+    FROM tok JOIN cnt USING (t)
+    GROUP BY doc_id
+    """,
+)
+def doc_dsir_selection(sf_dir: str):
+    """DSIR-style data selection: importance weight of each document
+    under a target-domain LM (here: the lang='en' slice) vs the raw
+    corpus LM, both Laplace-smoothed unigram models over the shared
+    vocabulary. Per-token weight is the INTEGER surprisal difference
+    bit_length((N_raw+V)//(c_raw+1)) - bit_length((N_tgt+V)//(c_tgt+1))
+    (functions/hashing.bit_length_u64 — exact shift arithmetic, so
+    Ray and DuckDB agree bit-for-bit; same discipline as
+    doc_unigram_surprisal). selected = dsir_bits >= 0, i.e. the doc
+    reads more target-like than corpus-average.
+
+    Scale shape: ONE tf pass carrying a pre-masked tgt_tf column (so
+    raw and target counts come out of a single vocab-bucket
+    aggregate — no second pass, no full-outer vocab join), scalar
+    totals folded on the driver from the pinned tf blocks (no
+    exchange), one term-bucket cogroup join, one per-doc bucket
+    aggregate. Two exchanges + one join total, independent of corpus
+    size."""
+    import polars as pl
+
+    from .functions.hashing import bit_length_u64
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64()), ("tgt_tf", pa.int64())])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("term"))
+            .drop("text").explode("term")
+            .filter(pl.col("term").is_not_null())
+            .group_by(["doc_id", "term"])
+            .agg(pl.len().alias("tf"),
+                 (pl.col("lang") == "en").sum().alias("tgt_tf")))
+        return out.to_arrow().cast(tf_schema)
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    # materialized: consumed by the count aggregate AND the join left
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    cnt_ds = bucket_aggregate(
+        tf_ds.select_columns(["term", "tf", "tgt_tf"]), ["term"],
+        [("sum", "tf", "c_raw"), ("sum", "tgt_tf", "c_tgt")],
+        num_buckets=nb).materialize()
+
+    # scalars (N_raw, N_tgt, V): map-side partials over the pinned
+    # vocab blocks, folded on the driver — no extra exchange
+    n_raw = n_tgt = vocab = 0
+    for b in cnt_ds.map_batches(
+            lambda b: pa.table({
+                "r": [pc.sum(b["c_raw"]).as_py() or 0],
+                "t": [pc.sum(b["c_tgt"]).as_py() or 0],
+                "v": [b.num_rows]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        n_raw += int(pc.sum(b["r"]).as_py() or 0)
+        n_tgt += int(pc.sum(b["t"]).as_py() or 0)
+        vocab += int(pc.sum(b["v"]).as_py() or 0)
+
+    joined = cogroup_join(
+        tf_ds, cnt_ds, left_on="term", right_on="term",
+        join_type="inner", num_buckets=nb, left_schema=tf_schema,
+        right_schema=pa.schema([("term", pa.string()),
+                                ("c_raw", pa.int64()),
+                                ("c_tgt", pa.int64())]))
+
+    def score(batch: pa.Table, _raw=n_raw + vocab,
+              _tgt=n_tgt + vocab) -> pa.Table:
+        c_raw = batch["c_raw"].to_numpy(zero_copy_only=False)
+        c_tgt = batch["c_tgt"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        bits_raw = bit_length_u64(
+            (np.uint64(_raw) // (c_raw + 1).astype(np.uint64)))
+        bits_tgt = bit_length_u64(
+            (np.uint64(_tgt) // (c_tgt + 1).astype(np.uint64)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": tf,
+                         "w_bits": tf * (bits_raw - bits_tgt)})
+
+    out = bucket_aggregate(
+        joined.map_batches(score, batch_format="pyarrow"), ["doc_id"],
+        [("sum", "n_tokens", "n_tokens"), ("sum", "w_bits", "dsir_bits")],
+        num_buckets=nb)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "selected", pc.greater_equal(batch["dsir_bits"],
+                                         pa.scalar(0, pa.int64())))
+
+    return _collect(out.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64()),
+                               ("dsir_bits", pa.int64()),
+                               ("selected", pa.bool_())]))
+
+
+# ---------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate enumerates queries() in
 # dict order and has a finite budget (r02 recorded exactly the first 50
 # of 62). Put the entries that have never had a driver row FIRST so
@@ -5171,6 +5473,7 @@ def supplier_nation_join(sf_dir: str):
 
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
+    "doc_dsir_selection", "doc_span_dedup",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
