@@ -5464,6 +5464,180 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Orders: CDC-style MERGE/upsert (table maintenance: apply a change
+# set of updates + inserts to a base table in one pass)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "orders_upsert_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(trunc(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, cents + 10000 AS cents
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey, 'N' AS o_orderstatus, cents
+      FROM base WHERE o_orderkey % 7 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(u.cents, b.cents) AS total_cents,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                  THEN 'update'
+                WHEN u.o_orderkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS op
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def orders_upsert_merge(sf_dir: str):
+    """Delta-style MERGE INTO: a deterministic change set (every 3rd
+    orderkey updated with +100.00, every 7th mirrored as a brand-new
+    negative-key insert) applied to the base table through ONE
+    full-outer cogroup join — matched rows take the update, unmatched
+    change rows insert, unmatched base rows pass through, and every
+    output row is tagged with its merge op. The change set is derived
+    from the MATERIALIZED base read (two consumers of one lazy read
+    would re-execute it — the shared-lineage pitfall), and prices ride
+    as integer cents so the upsert arithmetic is reduction-order-proof.
+    At 100 TB the change set is normally a separate (much smaller)
+    table; the join shape is identical."""
+    from .stages.joinutil import cogroup_join
+
+    base_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("o_orderstatus", pa.string()),
+                             ("cents", pa.int64())])
+
+    def to_base(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderstatus": batch["o_orderstatus"],
+                         "cents": _to_cents(batch["o_totalprice"])})
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(to_base, batch_format="pyarrow").materialize()
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(k % 3 == 0))
+        ins = batch.filter(pa.array(k % 7 == 0))
+        return pa.table({
+            "u_orderkey": pa.concat_arrays([
+                upd["o_orderkey"].combine_chunks(),
+                pc.negate(ins["o_orderkey"]).combine_chunks()]),
+            "u_status": pa.concat_arrays([
+                pa.array(["U"] * upd.num_rows, pa.string()),
+                pa.array(["N"] * ins.num_rows, pa.string())]),
+            "u_cents": pa.concat_arrays([
+                pc.add(upd["cents"],
+                       pa.scalar(10000, pa.int64())).combine_chunks(),
+                ins["cents"].combine_chunks()]),
+        })
+
+    changes = base.map_batches(to_changes, batch_format="pyarrow")
+    merged = cogroup_join(
+        base, changes, left_on="o_orderkey", right_on="u_orderkey",
+        join_type="full outer", num_buckets=16,
+        left_schema=base_schema,
+        right_schema=pa.schema([("u_orderkey", pa.int64()),
+                                ("u_status", pa.string()),
+                                ("u_cents", pa.int64())]))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # cogroup_join full outer coalesces KEYS (both key columns are
+        # populated wherever either side contributed), so side
+        # membership is read off payload validity: each side's status
+        # column is non-null in the source data
+        has_u = pc.is_valid(batch["u_status"])
+        has_b = pc.is_valid(batch["o_orderstatus"])
+        op = pc.if_else(pc.and_(has_u, has_b), pa.scalar("update"),
+                        pc.if_else(has_u, pa.scalar("insert"),
+                                   pa.scalar("keep")))
+        return pa.table({
+            "o_orderkey": pc.coalesce(batch["u_orderkey"],
+                                      batch["o_orderkey"]),
+            "o_orderstatus": pc.coalesce(batch["u_status"],
+                                         batch["o_orderstatus"]),
+            "total_cents": pc.coalesce(batch["u_cents"], batch["cents"]),
+            "op": op,
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Events: per-user event-type transition matrix (Markov-chain
+# estimation over ordered event streams)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event stream (behavior-model / next-event features).
+    Shape: ONE task-level hash scatter by user (all events of a user
+    land in one bucket; no global sort), per-bucket vectorized kernel —
+    lexsort by (user, ts, event_id), shift-compare for same-user
+    adjacency, one pyarrow group_by for the bucket's pair counts — then
+    the |types|^2-sized partials fold through a tiny final aggregate."""
+    import polars as pl
+
+    from .functions.hashing import mix64
+    from .stages.shardutil import scatter_apply_by_value
+    from .stages.skew import bucket_aggregate
+
+    nb = _adaptive_buckets(sf_dir, "events", rows_per_bucket=4000)
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = ((mix64(u.astype(np.uint64)) >> np.uint64(32))
+             .astype(np.int64) % nb)
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    pair_schema = pa.schema([("event_type", pa.string()),
+                             ("next_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        cur, nxt = et[:-1][same], et[1:][same]
+        out = pl.DataFrame({"event_type": cur.astype(str),
+                            "next_type": nxt.astype(str)}) \
+            .group_by(["event_type", "next_type"]).len(name="n")
+        return out.to_arrow().cast(pair_schema)
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow")
+    partials = scatter_apply_by_value(
+        tagged.materialize(), "_bucket", nb, pairs_bucket,
+        empty_result=pair_schema.empty_table())
+    out = bucket_aggregate(partials, ["event_type", "next_type"],
+                           [("sum", "n", "n")], num_buckets=4)
+    return _collect(out, pair_schema)
+
+
+# ---------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate enumerates queries() in
 # dict order and has a finite budget (r02 recorded exactly the first 50
 # of 62). Put the entries that have never had a driver row FIRST so
@@ -5473,7 +5647,8 @@ def doc_dsir_selection(sf_dir: str):
 
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
-    "doc_dsir_selection", "doc_span_dedup",
+    "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
+    "events_transition_matrix",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
