@@ -2888,6 +2888,63 @@ def doc_top_terms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: Count-Min point-frequency sketch, accuracy oracle-visible
+# against the exact top-term counts
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_top_terms_cms",
+    r"""
+    SELECT tok AS item, count(*) AS est,
+           true AS cms_ge_exact, true AS cms_within_bound FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents)
+    GROUP BY tok ORDER BY est DESC, item LIMIT 20
+    """,
+)
+def doc_top_terms_cms(sf_dir: str):
+    """Count-Min sketch (Cormode-Muthukrishnan) over the token stream,
+    its accuracy contract oracle-visible: the exact top-20 term counts
+    (the same mergeable-MG path as doc_top_terms — exact in this
+    capacity regime) plus two bits per term. cms_ge_exact pins the
+    sketch's DETERMINISTIC one-sided guarantee (a CMS point query never
+    undercounts); cms_within_bound pins est - exact <= 16*ceil(N/width)
+    — 4x the per-row expected collision mass, failed only if all 4
+    rows exceed 16x expectation simultaneously (p ~ 1e-5 per term by
+    Markov; the fixed salts make it deterministic per input, verified
+    at sf0.001/0.01/0.1). The sketch itself is LINEAR: per-block
+    (depth x width) partials fold by addition on the driver in O(1)
+    memory — the token stream never shuffles."""
+    from .stages.sketch import cms_estimate, count_min, frequent_items
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda batch: pa.table({
+            "tok": pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(
+                    batch["text"].combine_chunks()
+                    if isinstance(batch["text"], pa.ChunkedArray)
+                    else batch["text"]), r"\s+").flatten()}),
+        batch_format="pyarrow").materialize()
+
+    width = 8192
+    mat = count_min(ds, "tok", width=width)
+    n_total = int(mat[0].sum())
+
+    exact = frequent_items(ds, "tok", capacity=4096)
+    t = _collect(exact, pa.schema([("item", pa.string()),
+                                   ("est", pa.int64())]))
+    order = pc.sort_indices(t, sort_keys=[("est", "descending"),
+                                          ("item", "ascending")])
+    t = t.take(order).slice(0, 20)
+    est = cms_estimate(mat, t["item"])
+    ex = t["est"].to_numpy(zero_copy_only=False)
+    bound = 16 * ((n_total + width - 1) // width)
+    return t.append_column(
+        "cms_ge_exact", pa.array(est >= ex)).append_column(
+        "cms_within_bound", pa.array(est - ex <= bound))
+
+
+# ---------------------------------------------------------------------------
 # Events: per-key exact quantiles (order statistics; element pick ==
 # SQL quantile_disc, so doubles match bit-for-bit)
 # ---------------------------------------------------------------------------
@@ -5648,7 +5705,7 @@ def events_transition_matrix(sf_dir: str):
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
-    "events_transition_matrix",
+    "events_transition_matrix", "doc_top_terms_cms",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

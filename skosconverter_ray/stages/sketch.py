@@ -283,3 +283,68 @@ def dd_quantiles(ds, key_col: str, val_col: str, qs: dict[str, float],
             .groupby("_kb")
             .map_groups(lambda g: estimate(g.drop_columns(["_kb"])),
                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005 — linear, mergeable
+# point-frequency sketch; estimates never undercount)
+# ---------------------------------------------------------------------------
+
+# fixed row salts: the d hash functions are mix64(h ^ salt_i); changing
+# them changes every sketch, so they are module constants, not params
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def cms_partial(items, counts: np.ndarray | None, *,
+                width: int) -> np.ndarray:
+    """One batch -> a (depth, width) int64 count matrix. CMS is LINEAR:
+    the matrix of a concatenation is the elementwise sum of the parts,
+    so partials merge by addition in any order/grouping — the token
+    stream itself never shuffles, only depth*width*8 bytes per block.
+    """
+    from ..functions.hashing import hash_strings, mix64
+
+    h = hash_strings(items, seed=3)
+    if counts is None:
+        counts = np.ones(len(h), np.int64)
+    mat = np.zeros((len(_CMS_SALTS), width), np.int64)
+    for i, salt in enumerate(_CMS_SALTS):
+        idx = (mix64(h ^ salt) % np.uint64(width)).astype(np.int64)
+        np.add.at(mat[i], idx, counts)
+    return mat
+
+
+def cms_estimate(mat: np.ndarray, items) -> np.ndarray:
+    """Point queries: min over the depth rows — always >= the true
+    count (every row overcounts by its colliders, never under)."""
+    from ..functions.hashing import hash_strings, mix64
+
+    width = mat.shape[1]
+    h = hash_strings(items, seed=3)
+    est = None
+    for i, salt in enumerate(_CMS_SALTS):
+        idx = (mix64(h ^ salt) % np.uint64(width)).astype(np.int64)
+        row = mat[i][idx]
+        est = row if est is None else np.minimum(est, row)
+    return est
+
+
+def count_min(ds, col: str, *, width: int = 8192) -> np.ndarray:
+    """Dataset column -> one merged CMS matrix. Per-block partials
+    stream to the driver and fold into a single running sum — driver
+    memory is O(depth*width) regardless of block count (the blobs are
+    consumed as they arrive, never held together)."""
+    import pyarrow as pa_
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = cms_partial(batch[col], None, width=width)
+        return pa_.table({"blob": pa_.array([m.tobytes()], pa_.binary())})
+
+    acc = np.zeros((len(_CMS_SALTS), width), np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            acc += np.frombuffer(blob, np.int64).reshape(acc.shape)
+    return acc

@@ -103,3 +103,44 @@ def test_frequent_items_heavy_hitters_past_capacity(ray_session):
         assert hot in got
         assert got[hot] <= true
         assert true - got[hot] <= n / 257 + 1
+
+
+def test_cms_linear_merge_and_one_sided_bound():
+    import numpy as np
+    import pyarrow as pa
+
+    from skosconverter_ray.stages.sketch import cms_estimate, cms_partial
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream with known exact counts
+    items = [f"t{int(v)}" for v in rng.zipf(1.3, size=20000) if v < 5000]
+    from collections import Counter
+    exact = Counter(items)
+
+    width = 2048
+    half = len(items) // 2
+    a = cms_partial(pa.array(items[:half]), None, width=width)
+    b = cms_partial(pa.array(items[half:]), None, width=width)
+    whole = cms_partial(pa.array(items), None, width=width)
+    # linearity: partials merge by addition, any split
+    assert (a + b == whole).all()
+
+    keys = list(exact)
+    est = cms_estimate(whole, pa.array(keys))
+    ex = np.array([exact[k] for k in keys])
+    assert (est >= ex).all()  # deterministic one-sided guarantee
+    # expected overcount per row is N/width; min over 4 rows stays
+    # well inside 16x that on any non-adversarial stream
+    assert (est - ex <= 16 * (len(items) // width + 1)).all()
+
+
+def test_cms_weighted_counts():
+    import numpy as np
+    import pyarrow as pa
+
+    from skosconverter_ray.stages.sketch import cms_estimate, cms_partial
+
+    m = cms_partial(pa.array(["x", "y"]), np.array([10, 3], np.int64),
+                    width=64)
+    est = cms_estimate(m, pa.array(["x", "y"]))
+    assert est[0] >= 10 and est[1] >= 3 and m[0].sum() == 13
