@@ -66,6 +66,12 @@ HEADLINE = [
     "doc_dup_ngrams",
     "graph_triangles",
     "graph_communities",
+    # round 4, second wave
+    "doc_dsir_selection",
+    "doc_span_dedup",
+    "orders_upsert_merge",
+    "events_transition_matrix",
+    "doc_top_terms_cms",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -4009,6 +4009,29 @@ def ann_topk_ivf(sf_dir: str):
     return _ann_recall_row(sf_dir, approx, floor=0.75)
 
 
+@_q("ann_topk_pq", _ANN_SUMMARY_SQL)
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011), same query as
+    ann_topk_cosine: per-subspace codebooks trained on a bounded
+    sample, asymmetric-distance table lookups as the scan proxy
+    (m_sub lookups per row instead of a dim-length dot product),
+    exact in-batch rerank of the per-block top-128. The accuracy
+    contract is oracle-visible via the shared recall row (floor 0.75;
+    measured 1.0 at sf0.01 AND sf0.1 with 8 subspaces x 32 codes =
+    8-byte codes; raw neighbors via stages/similarity.ann_pq_topk)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ann_pq_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = ann_pq_topk(ds, q, k=10, exclude_ids=(0,))
+    return _ann_recall_row(sf_dir, approx, floor=0.75)
+
+
 @_q(
     "embedding_neardup_lsh",
     """
@@ -5705,7 +5728,7 @@ def events_transition_matrix(sf_dir: str):
 _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
-    "events_transition_matrix", "doc_top_terms_cms",
+    "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

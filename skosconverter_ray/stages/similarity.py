@@ -162,6 +162,104 @@ def ann_ivf_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
     return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def _pq_train(sample: np.ndarray, m_sub: int, n_codes: int,
+              n_iter: int = 12, seed: int = 0x9C7) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means (the product-quantization
+    codebooks of Jégou et al. 2011): sample (n, dim) -> codebooks
+    (m_sub, n_codes, dim/m_sub). Empty codes re-seed from the sample
+    (seeded RNG) so the codebooks are reproducible everywhere."""
+    rng = np.random.RandomState(seed)
+    n, dim = sample.shape
+    d_sub = dim // m_sub
+    books = np.empty((m_sub, min(n_codes, n), d_sub))
+    for s in range(m_sub):
+        x = sample[:, s * d_sub:(s + 1) * d_sub]
+        k = min(n_codes, n)
+        cent = x[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            # argmin ||x - c||^2 == argmax (x.c - |c|^2/2)
+            sc = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = sc.argmax(axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                cent[c] = (members.mean(axis=0) if len(members)
+                           else x[rng.randint(n)])
+        books[s] = cent
+    return books
+
+
+def _pq_encode(matn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) normalized vectors -> (n, m_sub) uint8 PQ codes."""
+    n, dim = matn.shape
+    m_sub, _, d_sub = books.shape
+    codes = np.empty((n, m_sub), np.uint8)
+    for s in range(m_sub):
+        x = matn[:, s * d_sub:(s + 1) * d_sub]
+        cent = books[s]
+        sc = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        codes[:, s] = sc.argmax(axis=1)
+    return codes
+
+
+def ann_pq_topk(emb_ds, query_vec: np.ndarray, *, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                m_sub: int = 8, n_codes: int = 32, rerank: int = 128,
+                sample_rows: int = 4096, seed: int = 0x9C7,
+                exclude_ids: tuple = ()):
+    """Product-quantization ANN for one query (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): codebooks
+    trained driver-side on a bounded sample; the scan computes each
+    row's approximate cosine as m_sub asymmetric-distance TABLE
+    LOOKUPS (query·codeword, precomputed per subspace — no full
+    dot product), keeps only the batch's top-``rerank`` candidates by
+    that proxy, and exact-reranks just those in place (the true vector
+    is still in the batch — nothing is re-fetched). Global top-k by
+    exact cosine follows over ≤ rerank rows per block.
+
+    At 100 TB the codes (m_sub bytes/vector vs 4·dim) are the
+    materialized index and the ADC table is the only per-query state;
+    the encode/lookup math here is exactly that index's."""
+    from ..functions.arrays import list_column_to_matrix
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    excl = set(exclude_ids)
+
+    sample_tbl = emb_ds.limit(sample_rows).take_all()
+    smat = np.asarray([r[vec_col] for r in sample_tbl], dtype=np.float64)
+    norms = np.linalg.norm(smat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    books = _pq_train(smat / norms, m_sub, n_codes, seed=seed)
+    d_sub = books.shape[2]
+    # ADC table: adc[s, c] = qn_sub(s) . codeword(s, c)
+    adc = np.stack([books[s] @ qn[s * d_sub:(s + 1) * d_sub]
+                    for s in range(m_sub)])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(batch[vec_col])
+        nr = np.linalg.norm(mat, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        matn = mat / nr
+        keep = ~np.isin(ids, list(excl)) if excl else \
+            np.ones(len(ids), bool)
+        ids, matn = ids[keep], matn[keep]
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        codes = _pq_encode(matn, books)
+        approx = adc[np.arange(books.shape[0]), codes].sum(axis=1)
+        top = np.argsort(-approx, kind="stable")[:rerank]
+        sims = matn[top] @ qn
+        return pa.table({
+            "vec_id": pa.array(ids[top]),
+            "cos_sim": pa.array(np.round(sims, 6), pa.float64()),
+        })
+
+    out = emb_ds.map_batches(scan, batch_format="pyarrow")
+    return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # All-pairs near-dup, sign-LSH bucketed (the scale path behind
 # stages/dedup.embedding_near_dup_pairs — no driver materialization)
