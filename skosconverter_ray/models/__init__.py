@@ -67,3 +67,65 @@ class MentionScorer:
         h = np.tanh(x @ self.w1 + self.b1)
         z = h @ self.w2 + self.b2
         return (1.0 / (1.0 + np.exp(-z))).ravel().astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Distilled quality scorer (T3 over documents): the curation quality
+# RULE distilled into a trained, integer-quantized linear model whose
+# margin is bit-exactly reproducible in SQL.
+# ---------------------------------------------------------------------------
+
+QUALITY_SCORER_PATH = os.path.join(_DIR, "quality_scorer.npz")
+
+# feature layout shared by training, inference, and the SQL oracle —
+# every feature is an INTEGER both engines compute identically
+QUALITY_FEATURES = ("n_chars", "n_tokens", "n_alpha", "n_stop")
+_STOP_RE = r"\b(the|a|of|and|to|in|is)\b"
+_TOK_RE = r"[a-z0-9]+"
+_ALPHA_RE = r"[A-Za-z]"
+
+
+def quality_features(texts) -> np.ndarray:
+    """Texts -> (n, 4) int64 feature matrix, vectorized Arrow RE2
+    kernels (count_substring_regex) so the engine and the DuckDB
+    oracle (len(regexp_extract_all(...))) agree exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.array(list(texts), pa.string()) \
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    low = pc.utf8_lower(t)
+    f = np.empty((len(t), 4), np.int64)
+    f[:, 0] = pc.utf8_length(t).to_numpy(zero_copy_only=False)
+    f[:, 1] = pc.count_substring_regex(low, _TOK_RE) \
+        .to_numpy(zero_copy_only=False)
+    f[:, 2] = pc.count_substring_regex(t, _ALPHA_RE) \
+        .to_numpy(zero_copy_only=False)
+    f[:, 3] = pc.count_substring_regex(low, _STOP_RE) \
+        .to_numpy(zero_copy_only=False)
+    return f
+
+
+class QualityScorer:
+    """Actor-pool inference stage: integer weights load once per actor
+    from the committed artifact; a batch scores as one integer matvec.
+    margin_milli = f @ w + b (int64, exact — the SQL oracle recomputes
+    it from the same committed weights); predicted = margin >= 0."""
+
+    def __init__(self, path: str = QUALITY_SCORER_PATH):
+        import pyarrow as pa  # noqa: F401  (worker import warm-up)
+
+        with np.load(path) as z:
+            self.w = z["w"].astype(np.int64)
+            self.b = int(z["b"])
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        f = quality_features(batch["text"])
+        margin = f @ self.w + self.b
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "margin_milli": pa.array(margin, pa.int64()),
+            "predicted": pa.array(margin >= 0),
+        })

@@ -1422,13 +1422,20 @@ def graph_pagerank(sf_dir: str):
     })
 
 
-def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None):
+def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None,
+                           min_weight: int | None = None):
     """Supplier co-part edges (a, b int64; a and b supply a common
     part; one row per distinct (part, a, b) — shared-part multiplicity
     kept): distinct (p, s) via bucket aggregate, per-part pair
     expansion inside one task-scatter cogroup. ``part_mod`` keeps only
     parts with ``hash(p) % part_mod == 0`` (bounded subgraphs for
-    sequential-oracle parity rows)."""
+    sequential-oracle parity rows). ``min_weight`` collapses the pair
+    rows to DISTINCT edges kept only when the two suppliers share >=
+    that many parts — the co-occurrence-strength projection that keeps
+    the graph sparse: the raw projection of a dense bipartite table
+    degenerates to (nearly) complete (at sf0.1 every supplier pair
+    shares a part — 500k edges, K_1000), and any graph algorithm on a
+    complete graph measures nothing."""
     from .functions.hashing import bucket_of
     from .stages.shardutil import scatter_apply_by_value
     from .stages.skew import bucket_aggregate
@@ -1476,9 +1483,24 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None):
                               - np.repeat(np.cumsum(cnt) - cnt, cnt))
         return pa.table({"a": s_s[first], "b": s_s[second]})
 
-    return scatter_apply_by_value(
+    pairs = scatter_apply_by_value(
         ps.map_batches(tag, batch_format="pyarrow").materialize(),
         "_bucket", 16, part_pairs)
+    if min_weight is None:
+        return pairs
+    weighted = bucket_aggregate(pairs, ["a", "b"],
+                                [("count", None, "_w")],
+                                num_buckets=16, bucket_key="a")
+
+    def strong(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(
+            batch["_w"], pa.scalar(min_weight, pa.int64()))) \
+            .drop_columns(["_w"])
+
+    return weighted.map_batches(strong, batch_format="pyarrow")
+
+
+_COPART_MIN_W = 25
 
 
 @_q(
@@ -1486,8 +1508,9 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None):
     """
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
                 FROM lineitem),
-    e AS (SELECT DISTINCT a.s AS x, b.s AS y
-          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+    e AS (SELECT a.s AS x, b.s AS y
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= 25)
     SELECT (SELECT count(*) FROM e e1
             JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
             JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles,
@@ -1495,42 +1518,52 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None):
     """,
 )
 def graph_triangles(sf_dir: str):
-    """Exact triangle count over the supplier co-part graph (two
-    suppliers connect iff they supply a common part). The engine path
-    is the degree-oriented wedge join (stages/graph.triangle_count —
-    the Suri-Vassilvitskii 'last reducer' shape: wedges generate only
-    at each edge's lower-(degree, id) endpoint, so hub fanout is
-    arboricity-bounded); the co-supplier edges themselves come from a
-    per-part pair expansion inside one bucket cogroup. Oracle: the
-    3-way self-join in DuckDB."""
+    """Exact triangle count over the STRONG supplier co-part graph
+    (suppliers connect iff they share >= 25 parts — the raw one-part
+    projection degenerates to K_1000 at sf0.1: 500k edges, 166M
+    triangles, and a triangle count of a complete graph measures
+    nothing). The engine path is the degree-oriented wedge join
+    (stages/graph.triangle_count — the Suri-Vassilvitskii 'last
+    reducer' shape: wedges generate only at each edge's
+    lower-(degree, id) endpoint, so hub fanout is arboricity-bounded);
+    the weighted co-supplier edges come from a per-part pair expansion
+    inside one bucket cogroup + one pair-count aggregate. Oracle: the
+    3-way self-join in DuckDB over the same HAVING-thresholded
+    projection."""
     from .stages.graph import triangle_count
 
-    edges = _copart_supplier_pairs(sf_dir)
+    edges = _copart_supplier_pairs(sf_dir, min_weight=_COPART_MIN_W)
     n_tri, n_edges = triangle_count(edges, num_buckets=16)
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
                      "n_edges": pa.array([n_edges], pa.int64())})
 
 
 def _communities_actor_labels(sf_dir: str):
-    """Shard-actor LPA over the full co-part graph (bench entry: the
-    pipeline alone, without the oracle row's parity replays)."""
+    """Shard-actor LPA over the full STRONG co-part graph (bench
+    entry: the pipeline alone, without the oracle row's parity
+    replays). min_weight keeps the projection sparse — see
+    _copart_supplier_pairs."""
     from .stages.communities import label_propagation
 
     return label_propagation(
-        _copart_supplier_pairs(sf_dir), n_iter=5, src_col="a",
+        _copart_supplier_pairs(sf_dir, min_weight=_COPART_MIN_W),
+        n_iter=5, src_col="a",
         dst_col="b", engine="actors", max_driver_edges=0, num_shards=8)
 
 
 @_q(
     "graph_communities",
     """
-    SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pair_rows,
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    e AS (SELECT a.s AS x, b.s AS y
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= 25)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
            CAST(5 AS BIGINT) AS n_rounds,
            true AS engines_match,
            true AS seq_parity,
            true AS labels_are_members
-    FROM (SELECT count(DISTINCT l_suppkey) AS c
-          FROM lineitem GROUP BY l_partkey)
     """,
 )
 def graph_communities(sf_dir: str):
@@ -1539,8 +1572,10 @@ def graph_communities(sf_dir: str):
     the first with MODE message aggregation) over the supplier
     co-part graph (unipartite and clique-rich: synchronous LPA
     oscillates on bipartite graphs, so the raw supplier->part edges
-    would be the wrong input). Oracle row: n_pair_rows (co-part pair
-    rows = Σ c·(c−1)/2 over parts) is SQL-live; engines_match pins the
+    would be the wrong input). The full-graph run uses the
+    min_weight=25 strong projection (the raw one is K_1000 at sf0.1 —
+    see _copart_supplier_pairs). Oracle row: n_edges (strong-edge
+    count) is SQL-live; engines_match pins the
     Pregel shard-actor engine to the numpy driver engine label-for-
     label on a hash-bounded part subgraph; seq_parity pins the driver
     engine to an independent plain-Python oracle on the same
@@ -1549,7 +1584,8 @@ def graph_communities(sf_dir: str):
     from .stages.communities import (label_propagation,
                                      label_propagation_sequential)
 
-    n_pair_rows = _copart_supplier_pairs(sf_dir).count()
+    n_edges = _copart_supplier_pairs(
+        sf_dir, min_weight=_COPART_MIN_W).count()
 
     # bounded subgraph: both engines + the independent oracle
     sub = _copart_supplier_pairs(sf_dir, part_mod=8).materialize()
@@ -1580,7 +1616,7 @@ def graph_communities(sf_dir: str):
         labels.update(b["label"].to_pylist())
     labels_ok = labels <= nodes and len(nodes) > 0
     return pa.table({
-        "n_pair_rows": pa.array([n_pair_rows], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
         "n_rounds": pa.array([5], pa.int64()),
         "engines_match": pa.array([bool(engines_match)], pa.bool_()),
         "seq_parity": pa.array([bool(seq_parity)], pa.bool_()),
@@ -2885,6 +2921,60 @@ def doc_top_terms(sf_dir: str):
     order = pc.sort_indices(t, sort_keys=[("est", "descending"),
                                           ("item", "ascending")])
     return t.take(order).slice(0, 20)
+
+
+# ---------------------------------------------------------------------------
+# Documents: model-scored quality (T3 actor-pool inference with an
+# exact SQL oracle — the committed integer weights make the margin
+# SQL-recomputable)
+# ---------------------------------------------------------------------------
+
+def _quality_scorer_sql() -> str:
+    from .models import QUALITY_SCORER_PATH
+
+    z = np.load(QUALITY_SCORER_PATH)
+    w = z["w"].astype(np.int64)
+    b = int(z["b"])
+    stop = r"\b(the|a|of|and|to|in|is)\b"
+    return rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(lower(text), '{stop}')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({w[0]} * n_chars + {w[1]} * n_tokens + {w[2]} * n_alpha
+                + {w[3]} * n_stop + {b} AS BIGINT) AS margin_milli,
+           ({w[0]} * n_chars + {w[1]} * n_tokens + {w[2]} * n_alpha
+                + {w[3]} * n_stop + {b}) >= 0 AS predicted
+    FROM f
+    """
+
+
+@_q("doc_model_quality", _quality_scorer_sql())
+def doc_model_quality(sf_dir: str):
+    """Model-scored document quality — the T3 stateful-scorer slot
+    over the documents table with a BIT-EXACT oracle: the curation
+    quality rule distilled into a trained integer-quantized linear
+    model (tools/train_quality_scorer.py, committed artifact
+    models/quality_scorer.npz, 95%+ held-out agreement with the rule).
+    Weights load ONCE per actor in QualityScorer.__init__; each batch
+    scores as vectorized RE2 feature kernels + one integer matvec, so
+    Ray and the SQL oracle (which recomputes the margin from the same
+    committed weights) agree on every row. The same pattern with a
+    real GPU model swaps the matvec for a forward pass; nothing else
+    changes."""
+    from .models import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, concurrency=(1, 4),
+                         batch_size=1024, batch_format="pyarrow")
+    return _collect(out, pa.schema([("doc_id", pa.int64()),
+                                    ("margin_milli", pa.int64()),
+                                    ("predicted", pa.bool_())]))
 
 
 # ---------------------------------------------------------------------------
@@ -5729,6 +5819,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
+    "doc_model_quality",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
