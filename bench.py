@@ -72,6 +72,9 @@ HEADLINE = [
     "orders_upsert_merge",
     "events_transition_matrix",
     "doc_top_terms_cms",
+    "ann_topk_pq",
+    "doc_model_quality",
+    "doc_shard_shuffle",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
@@ -126,6 +129,7 @@ def run_headline() -> None:
     # PIPELINE itself, like-for-like with prior rounds, via shared
     # helpers.
     from skosconverter_ray.queries import (
+        _ann_pq_neighbors,
         _communities_actor_labels,
         _flagship_graph_outputs,
         _pagerank_actor_ranks,
@@ -137,6 +141,7 @@ def run_headline() -> None:
         "graph_pagerank": _pagerank_actor_ranks,
         "skos_tree_order_distributed": _tree_order_distributed_rows,
         "graph_communities": _communities_actor_labels,
+        "ann_topk_pq": _ann_pq_neighbors,
     }
 
     per_query: dict[str, float] = {}

@@ -4099,6 +4099,21 @@ def ann_topk_ivf(sf_dir: str):
     return _ann_recall_row(sf_dir, approx, floor=0.75)
 
 
+def _ann_pq_neighbors(sf_dir: str):
+    """The PQ ANN pipeline alone (bench entry: no brute-force recall
+    replay)."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ann_pq_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_pq_topk(ds, q, k=10, exclude_ids=(0,))
+
+
 @_q("ann_topk_pq", _ANN_SUMMARY_SQL)
 def ann_topk_pq(sf_dir: str):
     """Product-quantization ANN (Jégou et al. 2011), same query as
@@ -4109,17 +4124,7 @@ def ann_topk_pq(sf_dir: str):
     contract is oracle-visible via the shared recall row (floor 0.75;
     measured 1.0 at sf0.01 AND sf0.1 with 8 subspaces x 32 codes =
     8-byte codes; raw neighbors via stages/similarity.ann_pq_topk)."""
-    import pyarrow.parquet as pq
-
-    from .stages.similarity import ann_pq_topk
-
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "=", 0)])
-    q = np.asarray(qtab["embedding"].to_pylist()[0], dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    approx = ann_pq_topk(ds, q, k=10, exclude_ids=(0,))
-    return _ann_recall_row(sf_dir, approx, floor=0.75)
+    return _ann_recall_row(sf_dir, _ann_pq_neighbors(sf_dir), floor=0.75)
 
 
 @_q(
@@ -5634,6 +5639,76 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: deterministic training shuffle — shard assignment + a
+# pseudorandom within-shard order, stable under reruns
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_shard_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             (abs(doc_id) % 1000003) * 2654435761 % 1000003 AS hv
+      FROM documents
+    ), r AS (
+      SELECT doc_id, hv, hv % 8 AS shard,
+             row_number() OVER (PARTITION BY hv % 8
+                                ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum
+    FROM r GROUP BY shard
+    """,
+)
+def doc_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data serving: every
+    document gets a shard (hash % 8) and a pseudorandom-but-stable
+    within-shard position (order by hash, doc_id) — rerunning the
+    pipeline reproduces byte-identical shard files, and appends don't
+    reorder existing shards' relative order (hash order is
+    content-independent). The SQL-expressible multiplicative hash is
+    the same one the split/sample queries use. The oracle pins the
+    PERMUTATION, not just membership: order_checksum = Σ rank*doc_id
+    per shard differs if any two docs swap places. Shape: one
+    vectorized hash map, one task-level scatter by shard, per-shard
+    lexsort + rank — no global sort."""
+    from .stages.shardutil import scatter_apply_by_value
+
+    n_shards = 8
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hv = (np.abs(d) % 1000003) * 2654435761 % 1000003
+        return pa.table({"doc_id": batch["doc_id"],
+                         "hv": pa.array(hv, pa.int64()),
+                         "_bucket": pa.array(hv % n_shards, pa.int64())})
+
+    out_schema = pa.schema([("shard", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("order_checksum", pa.int64())])
+
+    def shard_stats(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, hv))
+        rk = np.arange(1, len(d) + 1, dtype=np.int64)
+        return pa.table({
+            "shard": pa.array([int(hv[0] % n_shards)], pa.int64()),
+            "n_docs": pa.array([len(d)], pa.int64()),
+            "order_checksum": pa.array([int((rk * d[order]).sum())],
+                                       pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    out = scatter_apply_by_value(tagged.materialize(), "_bucket",
+                                 n_shards, shard_stats,
+                                 empty_result=out_schema.empty_table())
+    return _collect(out, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Orders: CDC-style MERGE/upsert (table maintenance: apply a change
 # set of updates + inserts to a base table in one pass)
 # ---------------------------------------------------------------------------
@@ -5819,7 +5894,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality",
+    "doc_model_quality", "doc_shard_shuffle",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
