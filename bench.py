@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_topk_pq",
     "doc_model_quality",
     "doc_shard_shuffle",
+    "doc_cluster_sample",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -3196,6 +3196,128 @@ def doc_dedup_clusters(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: cluster-aware downsampling — keep ceil(sqrt(size)) docs
+# per near-dup cluster instead of exactly one (the soft-dedup /
+# diversity-preserving variant of SemDeDup-style pruning)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_cluster_sample",
+    r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    cl AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id
+           FROM reach GROUP BY a),
+    allc AS (
+      SELECT d.doc_id, coalesce(cl.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    ),
+    sz AS (SELECT rep_id, count(*) AS cluster_size
+           FROM allc GROUP BY rep_id),
+    rk AS (
+      SELECT a.doc_id, a.rep_id, s.cluster_size,
+             row_number() OVER (
+               PARTITION BY a.rep_id
+               ORDER BY (abs(a.doc_id) % 1000003) * 2654435761 % 1000003,
+                        a.doc_id) AS r
+      FROM allc a JOIN sz s USING (rep_id))
+    SELECT doc_id, rep_id, cluster_size,
+           r <= CAST(ceil(sqrt(cluster_size)) AS BIGINT) AS kept
+    FROM rk
+    """,
+)
+def doc_cluster_sample(sf_dir: str):
+    """Cluster-aware downsampling: near-dup clusters (the MinHash+LSH
+    verified pair graph's connected components, singletons included)
+    keep ceil(sqrt(size)) members each — hard dedup keeps 1 and loses
+    intra-cluster diversity, no dedup keeps everything and overweights
+    boilerplate; sqrt damping is the standard middle ground. WHICH
+    members survive is deterministic: rank within cluster by the
+    SQL-expressible multiplicative hash (appends don't reshuffle
+    existing survivors). Shape: one left-outer cogroup (docs x cluster
+    map, so singletons stay), ONE task scatter by rep — sizes, hash
+    ranks, and the sqrt quota all resolve inside the rep's bucket —
+    no driver-side cluster state."""
+    from .functions.hashing import mix64
+    from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
+    from .stages.joinutil import cogroup_join
+    from .stages.shardutil import scatter_apply_by_value
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    members = neardup_clusters(pairs)
+
+    docs = ds.select_columns(["doc_id"])
+    joined = cogroup_join(
+        docs, members.map_batches(
+            lambda b: pa.table({"m_doc": b["doc_id"],
+                                "rep_id": b["rep_id"]}),
+            batch_format="pyarrow"),
+        left_on="doc_id", right_on="m_doc", join_type="left outer",
+        num_buckets=nb,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("m_doc", pa.int64()),
+                                ("rep_id", pa.int64())]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rep = pc.coalesce(batch["rep_id"], batch["doc_id"])
+        r = rep.to_numpy(zero_copy_only=False)
+        b = ((mix64(r.astype(np.uint64)) >> np.uint64(32))
+             .astype(np.int64) % nb)
+        return pa.table({"doc_id": batch["doc_id"], "rep_id": rep,
+                         "_bucket": pa.array(b, pa.int64())})
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("rep_id", pa.int64()),
+                            ("cluster_size", pa.int64()),
+                            ("kept", pa.bool_())])
+
+    def sample_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        rep = t["rep_id"].to_numpy(zero_copy_only=False)
+        hv = (np.abs(d) % 1000003) * 2654435761 % 1000003
+        order = np.lexsort((d, hv, rep))
+        d_s, rep_s = d[order], rep[order]
+        uniq, starts = np.unique(rep_s, return_index=True)
+        lens = np.diff(np.append(starts, len(rep_s)))
+        size = np.repeat(lens, lens)
+        rank = np.arange(len(rep_s)) - np.repeat(starts, lens) + 1
+        quota = np.ceil(np.sqrt(size.astype(np.float64))).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d_s, pa.int64()),
+                         "rep_id": pa.array(rep_s, pa.int64()),
+                         "cluster_size": pa.array(size, pa.int64()),
+                         "kept": pa.array(rank <= quota)})
+
+    out = scatter_apply_by_value(
+        joined.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", nb, sample_bucket,
+        empty_result=out_schema.empty_table())
+    return _collect(out, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end curation pipeline: quality filter ∧ exact-dedup winners ∧
 # near-dup cluster reps -> per-language corpus stats. The composition
 # of three independently-verified operators, oracle-checked as a whole.
@@ -5894,7 +6016,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
