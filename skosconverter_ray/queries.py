@@ -1879,6 +1879,43 @@ def jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q(
+    "jsonl_gz_roundtrip",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_gz_roundtrip(sf_dir: str):
+    """documents -> gzip JSONL shards (sources/jsonl.write_jsonl_gz:
+    polars NDJSON + stdlib gzip per block, atomic shard publish) ->
+    read_json with arrow-level decompression -> per-lang count/chars.
+    Compressed newline-JSON is how crawl corpora actually ship
+    (*.jsonl.gz); the aggregate proves the compressed round-trip is
+    lossless."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import read_jsonl_gz, write_jsonl_gz
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="graft_jsonlgz_", dir="/tmp")
+    try:
+        write_jsonl_gz(ds, tmp)
+        back = read_jsonl_gz(tmp)
+        out = bucket_aggregate(
+            back.select_columns(["lang", "n_chars"]), ["lang"],
+            [("count", None, "n"), ("sum", "n_chars", "chars")],
+            num_buckets=4)
+        return _collect(out.select_columns(["lang", "n", "chars"]),
+                        pa.schema([("lang", pa.string()),
+                                   ("n", pa.int64()),
+                                   ("chars", pa.int64())]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Documents: regex extract-all to rows (flat-map extraction — the URL /
 # entity-mining shape; vectorized rust-regex extract + one explode)
@@ -6016,7 +6053,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
