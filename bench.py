@@ -76,6 +76,8 @@ HEADLINE = [
     "doc_model_quality",
     "doc_shard_shuffle",
     "doc_cluster_sample",
+    "graph_ppr",
+    "jsonl_gz_roundtrip",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
@@ -134,6 +136,7 @@ def run_headline() -> None:
         _communities_actor_labels,
         _flagship_graph_outputs,
         _pagerank_actor_ranks,
+        _ppr_actor_ranks,
         _tree_order_distributed_rows,
     )
 
@@ -143,6 +146,7 @@ def run_headline() -> None:
         "skos_tree_order_distributed": _tree_order_distributed_rows,
         "graph_communities": _communities_actor_labels,
         "ann_topk_pq": _ann_pq_neighbors,
+        "graph_ppr": _ppr_actor_ranks,
     }
 
     per_query: dict[str, float] = {}

@@ -1344,6 +1344,96 @@ def _pagerank_actor_ranks(sf_dir: str):
                     max_driver_edges=0, engine="actors")
 
 
+_PPR_SEEDS = ("s1", "s2", "s3")
+
+
+def _ppr_actor_ranks(sf_dir: str):
+    """Seeded shard-actor PPR over the lineitem graph (bench entry:
+    the personalized pipeline alone, no parity replays)."""
+    from .stages.graph import pagerank
+
+    return pagerank(_pagerank_edges(sf_dir), n_iter=5, num_buckets=16,
+                    seeds=list(_PPR_SEEDS), max_driver_edges=0,
+                    engine="actors")
+
+
+@_q(
+    "graph_ppr",
+    """
+    SELECT (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+         + (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_nodes,
+           CAST(3 AS BIGINT) AS n_seeds,
+           true AS engines_match,
+           1.0 AS rank_sum,
+           true AS localized
+    """,
+)
+def graph_ppr(sf_dir: str):
+    """PERSONALIZED PageRank / random walk with restart (teleport
+    vector = 1/3 on suppliers s1/s2/s3, dangling mass restarts at the
+    seeds) over the same bipartite lineitem graph as graph_pagerank —
+    ranks measure proximity to the seed set, the similarity primitive
+    behind graph-based recommendation and seed-expansion labeling.
+    Oracle row: n_nodes SQL-live; engines_match pins the Pregel
+    shard-actor engine to the driver numpy engine (per-node
+    |Δ| < 1e-9); rank_sum pins mass conservation; localized pins that
+    the seed set holds strictly more mass than under uniform-teleport
+    PageRank (the defining property of the restart)."""
+    from .stages.graph import pagerank
+
+    edge_ds = _pagerank_edges(sf_dir)
+    seeds = list(_PPR_SEEDS)
+    driver = pagerank(edge_ds, n_iter=5, num_buckets=16,
+                      seeds=seeds).materialize()
+    actors = pagerank(edge_ds, n_iter=5, num_buckets=16, seeds=seeds,
+                      max_driver_edges=0, engine="actors").materialize()
+    uniform = pagerank(edge_ds, n_iter=5, num_buckets=16).materialize()
+
+    # driver-vs-actor parity through one full-outer cogroup (the rank
+    # tables scale with the graph; only scalars fold here)
+    from .stages.joinutil import cogroup_join
+
+    rank_schema = pa.schema([("node", pa.string()),
+                             ("rank", pa.float64())])
+    joined = cogroup_join(
+        driver, actors.map_batches(
+            lambda b: pa.table({"node": b["node"], "rank_b": b["rank"]}),
+            batch_format="pyarrow"),
+        left_on="node", right_on="node", join_type="full outer",
+        num_buckets=8, left_schema=rank_schema,
+        right_schema=pa.schema([("node", pa.string()),
+                                ("rank_b", pa.float64())]))
+    n_nodes = driver.count()
+    bad = 0
+    total = 0.0
+    seed_mass = uni_seed_mass = 0.0
+    for b in joined.iter_batches(batch_format="pyarrow",
+                                 batch_size=8192):
+        diff = pc.abs(pc.subtract(b["rank"], b["rank_b"]))
+        bad += b.num_rows - pc.sum(
+            pc.cast(pc.and_(pc.is_valid(diff),
+                            pc.less(diff, pa.scalar(1e-9))),
+                    pa.int64())).as_py()
+        total += float(pc.sum(b["rank"]).as_py() or 0.0)
+        in_seed = pc.is_in(b["node"],
+                           value_set=pa.array(seeds, pa.string()))
+        seed_mass += float(pc.sum(pc.if_else(
+            in_seed, b["rank"], pa.scalar(0.0))).as_py() or 0.0)
+    for b in uniform.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536):
+        in_seed = pc.is_in(b["node"],
+                           value_set=pa.array(seeds, pa.string()))
+        uni_seed_mass += float(pc.sum(pc.if_else(
+            in_seed, b["rank"], pa.scalar(0.0))).as_py() or 0.0)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_seeds": pa.array([len(seeds)], pa.int64()),
+        "engines_match": pa.array([bad == 0], pa.bool_()),
+        "rank_sum": pa.array([round(total, 6)], pa.float64()),
+        "localized": pa.array([seed_mass > uni_seed_mass], pa.bool_()),
+    })
+
+
 def _tree_order_distributed_rows(sf_dir: str):
     """Distributed DFS-preorder alone (bench entry: the shard-actor
     orderer without the driver-DFS parity recomputation)."""
@@ -6053,7 +6143,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

@@ -48,12 +48,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _reset_vector(nodes, seeds) -> np.ndarray:
+    """Teleport distribution over ``nodes``: uniform when ``seeds`` is
+    None, else 1/k on the k seed nodes present (personalized PageRank
+    / random walk with restart — Page et al. 1999 §6; the seed SET is
+    dimension-sized by assumption and rides in task closures)."""
+    n = len(nodes)
+    if seeds is None:
+        return np.full(n, 1.0 / max(1, n))
+    mask = np.isin(np.asarray(nodes, dtype=object),
+                   np.asarray(sorted(seeds), dtype=object))
+    k = int(mask.sum())
+    if k == 0:
+        raise ValueError("personalized pagerank: no seed node "
+                         "present in the graph")
+    return np.where(mask, 1.0 / k, 0.0)
+
+
 def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
-                     tol: float | None):
+                     tol: float | None, seeds=None):
     """Vectorized driver-side power iteration over a pinned (src, dst)
     Dataset that fits the gate (``max_driver_edges``). Multi-edge
     semantics identical to the distributed path: out-degree counts
-    edge ROWS, each row contributes rank/deg."""
+    edge ROWS, each row contributes rank/deg. ``seeds`` switches the
+    teleport vector from uniform to the personalized 1/k-on-seeds
+    distribution; dangling mass redistributes by the SAME vector, so
+    the update is r' = ((1-d) + d*dangling) * reset + d * M r in both
+    modes."""
     import ray.data as rd
 
     srcs, dsts = [], []
@@ -72,12 +93,14 @@ def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
     dangling = deg == 0.0
     inv_deg = np.zeros(n)
     np.divide(1.0, deg, out=inv_deg, where=~dangling)
-    r = np.full(n, 1.0 / n)
+    reset = _reset_vector(nodes, seeds)
+    r = reset.copy()
     for _ in range(n_iter):
         contrib = r[src_i] * inv_deg[src_i]
         nxt = np.bincount(dst_i, weights=contrib, minlength=n)
         dmass = float(r[dangling].sum())
-        new = (1.0 - damping) / n + damping * (nxt + dmass / n)
+        scale = (1.0 - damping) + damping * dmass
+        new = scale * reset + damping * nxt
         delta = float(np.abs(new - r).max())
         r = new
         if tol is not None and delta < tol:
@@ -98,8 +121,10 @@ class _PRShard:
     message tables move actor→actor through the object store, the
     driver only relays refs and scalars."""
 
-    def __init__(self, bucket: int, n_buckets: int, damping: float):
+    def __init__(self, bucket: int, n_buckets: int, damping: float,
+                 seeds=None):
         self.b, self.B, self.d = bucket, n_buckets, damping
+        self.seeds = seeds
 
     def load(self, src_edge_refs, dst_edge_refs) -> int:
         """Zero-exchange setup (round 4): the shard derives its OWN
@@ -111,7 +136,8 @@ class _PRShard:
         replaced a distinct-nodes aggregate, a deg aggregate and two
         cogroup joins of driver-side setup — every pre-actor
         exchange.) Returns the local node count; the driver folds the
-        total and calls ``init`` with it."""
+        total and calls ``init`` with it — returns (local nodes,
+        local seeds) so the personalized mode folds both scalars."""
         import ray
 
         from ..functions.hashing import bucket_of
@@ -155,12 +181,25 @@ class _PRShard:
             uniq, starts = np.unique(dst_np[order], return_index=True)
             self.route.append(
                 (order, pa.array(uniq.tolist(), pa.string()), starts))
-        return len(self.nodes)
+        nodes_np = self.nodes.to_numpy(zero_copy_only=False)
+        self._seed_mask = (np.isin(
+            nodes_np, np.asarray(sorted(self.seeds), dtype=object))
+            if self.seeds is not None else None)
+        k_local = int(self._seed_mask.sum()) \
+            if self._seed_mask is not None else 0
+        return len(self.nodes), k_local
 
-    def init(self, n_nodes: int) -> None:
-        """Second setup wave: uniform rank once the driver has folded
-        the global node count from the load() returns."""
-        self.rank = np.full(len(self.nodes), 1.0 / max(1, n_nodes))
+    def init(self, n_nodes: int, k_seeds: int = 0) -> None:
+        """Second setup wave: teleport/reset weights once the driver
+        has folded the global node and seed counts from load() —
+        uniform 1/N, or 1/k on the shard's seed nodes (personalized
+        mode); rank starts AT the reset distribution in both modes."""
+        if self._seed_mask is None:
+            self.reset = np.full(len(self.nodes), 1.0 / max(1, n_nodes))
+        else:
+            self.reset = np.where(self._seed_mask,
+                                  1.0 / max(1, k_seeds), 0.0)
+        self.rank = self.reset.copy()
 
     def emit(self):
         import ray
@@ -178,7 +217,10 @@ class _PRShard:
         dang_local = float(self.rank[self.dang].sum())
         return dang_local, refs
 
-    def apply(self, base: float, msg_refs) -> float:
+    def apply(self, scale: float, msg_refs) -> float:
+        """``scale`` = (1-d) + d*dangling_mass; the teleport term is
+        scale * reset(v), which reduces to the old uniform base when
+        reset is 1/N."""
         import ray
 
         acc = np.zeros(len(self.nodes))
@@ -188,7 +230,7 @@ class _PRShard:
             np.add.at(acc, idx.to_numpy(zero_copy_only=False)
                       .astype(np.int64),
                       tbl["m"].to_numpy(zero_copy_only=False))
-        new = base + self.d * acc
+        new = scale * self.reset + self.d * acc
         delta = float(np.abs(new - self.rank).max()) if len(new) else 0.0
         self.rank = new
         return delta
@@ -200,7 +242,7 @@ class _PRShard:
 
 def _pagerank_actors(norm, *,
                      damping: float, n_iter: int, tol: float | None,
-                     num_shards: int):
+                     num_shards: int, seeds=None):
     """Actor-sharded power iteration (the >driver-gate engine).
 
     Zero Dataset exchanges per round: B long-lived shard actors hold
@@ -226,19 +268,23 @@ def _pagerank_actors(norm, *,
     dst_cols = split_dataset_by_bucket(norm, "dst", B)
 
     Shard = ray.remote(num_cpus=0)(_PRShard)
-    shards = [Shard.remote(b, B, damping) for b in range(B)]
+    shards = [Shard.remote(b, B, damping, seeds) for b in range(B)]
     try:
-        n_nodes = sum(ray.get([s.load.remote(src_cols[b], dst_cols[b])
-                               for b, s in enumerate(shards)]))
-        ray.get([s.init.remote(n_nodes) for s in shards])
+        loads = ray.get([s.load.remote(src_cols[b], dst_cols[b])
+                         for b, s in enumerate(shards)])
+        n_nodes = sum(l[0] for l in loads)
+        k_seeds = sum(l[1] for l in loads)
+        if seeds is not None and k_seeds == 0:
+            raise ValueError("personalized pagerank: no seed node "
+                             "present in the graph")
+        ray.get([s.init.remote(n_nodes, k_seeds) for s in shards])
         for _ in range(n_iter):
             outs = ray.get([s.emit.remote() for s in shards])
             dmass = sum(o[0] for o in outs)
-            base = (1.0 - damping) / n_nodes \
-                + damping * dmass / n_nodes
+            scale = (1.0 - damping) + damping * dmass
             inbox = [[outs[b][1][t] for b in range(B)
                       if outs[b][1][t] is not None] for t in range(B)]
-            deltas = ray.get([s.apply.remote(base, inbox[t])
+            deltas = ray.get([s.apply.remote(scale, inbox[t])
                               for t, s in enumerate(shards)])
             if tol is not None and max(deltas) < tol:
                 break
@@ -253,7 +299,8 @@ def _pagerank_actors(norm, *,
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
              num_buckets: int = 32, src_col: str = "src",
              dst_col: str = "dst", max_driver_edges: int = 4_000_000,
-             tol: float | None = None, engine: str = "auto"):
+             tol: float | None = None, engine: str = "auto",
+             seeds=None):
     """(src, dst) string-keyed edge Dataset -> (node, rank) Dataset.
 
     Standard PageRank power iteration (Page et al. 1999; damping d):
@@ -264,6 +311,11 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
 
     ``max_driver_edges`` gates the numpy fast path (module docstring);
     pass 0 to force a distributed engine (parity tests do).
+    ``seeds`` (an iterable of node ids, dimension-sized by assumption)
+    switches to PERSONALIZED PageRank / random walk with restart: the
+    teleport vector becomes 1/k on the seed nodes (0 elsewhere) and
+    dangling mass redistributes to the seeds — ranks then measure
+    proximity to the seed set. All three engines honor it.
     ``engine`` picks the distributed implementation above the gate:
     ``"auto"``/``"actors"`` = Pregel-style shard actors (zero Dataset
     exchanges per round — see _pagerank_actors), ``"dataset"`` = the
@@ -289,9 +341,11 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
     if n_edges == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
                                        "rank": pa.array([], pa.float64())}))
+    seeds = frozenset(str(s) for s in seeds) if seeds is not None \
+        else None
     if n_edges <= max_driver_edges:
         return _pagerank_driver(norm, damping=damping, n_iter=n_iter,
-                                tol=tol)
+                                tol=tol, seeds=seeds)
 
     def sym_nodes(batch: pa.Table) -> pa.Table:
         s = batch["src"].combine_chunks() if isinstance(
@@ -307,7 +361,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         # exchanges below are needed
         return _pagerank_actors(
             norm, damping=damping, n_iter=n_iter, tol=tol,
-            num_shards=max(2, min(num_buckets, 8)))
+            num_shards=max(2, min(num_buckets, 8)), seeds=seeds)
 
     nodes = bucket_aggregate(
         norm.map_batches(sym_nodes, batch_format="pyarrow"),
@@ -351,16 +405,38 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         right_schema=pa.schema([("dnode", pa.string()),
                                 ("deg", pa.int64())]))
 
+    if seeds is not None:
+        # global seed count: one tiny distributed fold over the node
+        # table (the seed set itself is dimension-sized)
+        seed_arr = pa.array(sorted(seeds), pa.string())
+        k_seeds = 0
+        for b in nodes.map_batches(
+                lambda b, _s=seed_arr: pa.table({"k": [pc.sum(
+                    pc.cast(pc.is_in(b["node"], value_set=_s),
+                            pa.int64())).as_py() or 0]}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+            k_seeds += int(pc.sum(b["k"]).as_py() or 0)
+        if k_seeds == 0:
+            raise ValueError("personalized pagerank: no seed node "
+                             "present in the graph")
     r0 = 1.0 / n_nodes
     ranks_schema = pa.schema([("node", pa.string()),
                               ("rank", pa.float64()),
-                              ("dang", pa.int8())])
+                              ("dang", pa.int8()),
+                              ("rw", pa.float64())])
 
     def init_rank(batch: pa.Table) -> pa.Table:
+        if seeds is None:
+            rw = pa.array(np.full(batch.num_rows, r0), pa.float64())
+        else:
+            m = pc.is_in(batch["node"], value_set=seed_arr)
+            rw = pc.if_else(m, pa.scalar(1.0 / k_seeds), pa.scalar(0.0))
         return pa.table({
             "node": batch["node"],
-            "rank": pa.array(np.full(batch.num_rows, r0), pa.float64()),
+            "rank": pc.cast(rw, pa.float64()),
             "dang": pc.cast(pc.is_null(batch["deg"]), pa.int8()),
+            "rw": pc.cast(rw, pa.float64()),
         }, schema=ranks_schema)
 
     from ray.data.aggregate import Max  # noqa: F401  (distributed Δ fold)
@@ -413,14 +489,14 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             contrib.map_batches(msg, batch_format="pyarrow"),
             ["node"], [("sum", "m", "m")], num_buckets=num_buckets)
 
-        base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
+        scale = (1.0 - damping) + damping * dmass
 
         # left-outer onto the rank table (IS the node set, carries the
         # dangling flag AND the previous rank, so |Δ| is computable
         # without another exchange): nodes with no in-edges keep base
         # mass only
         joined = cogroup_join(
-            ranks.select_columns(["node", "rank", "dang"]),
+            ranks.select_columns(["node", "rank", "dang", "rw"]),
             sums.map_batches(
                 lambda b: pa.table({"mnode": b["node"], "m": b["m"]}),
                 batch_format="pyarrow"),
@@ -430,14 +506,15 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             right_schema=pa.schema([("mnode", pa.string()),
                                     ("m", pa.float64())]))
 
-        def new_rank(batch: pa.Table, _base=base) -> pa.Table:
+        def new_rank(batch: pa.Table, _scale=scale) -> pa.Table:
             m = pc.fill_null(pc.cast(batch["m"], pa.float64()), 0.0)
-            new = pc.add(pa.scalar(_base),
+            new = pc.add(pc.multiply(pa.scalar(_scale), batch["rw"]),
                          pc.multiply(pa.scalar(damping), m))
             return pa.table({
                 "node": batch["node"],
                 "rank": pc.cast(new, pa.float64()),
                 "dang": batch["dang"],
+                "rw": batch["rw"],
             }, schema=ranks_schema).append_column(
                 "_delta", pc.cast(pc.abs(pc.subtract(new, batch["rank"])),
                                   pa.float64()))

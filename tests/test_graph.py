@@ -90,3 +90,58 @@ def test_pagerank_tol_early_exit(ray_session):
         got = _run(edges, n_iter=500, tol=1e-9, **kw)
         for v, r in got.items():
             assert abs(r - 1.0 / 3) < 1e-9, (kw, v, r)
+
+
+def _ppr_oracle(edges, seeds, n_iter=6, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    reset = np.zeros(n)
+    k = sum(1 for v in seeds if v in idx)
+    for v in seeds:
+        if v in idx:
+            reset[idx[v]] = 1.0 / k
+    r = reset.copy()
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        for s, t in edges:
+            nxt[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = ((1 - d) + d * dangling) * reset + d * nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("mode", ["driver", "actors", "dataset"])
+def test_personalized_pagerank_all_engines(ray_session, mode):
+    seeds = ["a", "f"]
+    kw = {} if mode == "driver" else \
+        {"max_driver_edges": 0, "engine": mode}
+    got = _run(_EDGES, n_iter=6, seeds=seeds, **kw)
+    want = _ppr_oracle(_EDGES, seeds, n_iter=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # localization: the seed set holds more mass than uniform PR
+    # gives it, and every non-seed's rank flows only from walks that
+    # started at a seed
+    uni = _run(_EDGES, n_iter=6)
+    assert got["a"] + got["f"] > uni["a"] + uni["f"]
+
+
+def test_personalized_pagerank_unreachable_node_gets_zero(ray_session):
+    # z -> y is disconnected from the seed component and nothing
+    # teleports to it: its stationary mass must decay toward zero
+    edges = _EDGES + [("z", "y")]
+    got = _run(edges, n_iter=20, seeds=["a"])
+    assert got["y"] < 1e-3 and got["z"] < 1e-3
+
+
+def test_personalized_pagerank_no_seed_in_graph_raises(ray_session):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _run(_EDGES, n_iter=2, seeds=["nope"])
