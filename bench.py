@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_shard_shuffle",
     "doc_cluster_sample",
     "graph_ppr",
+    "graph_hits",
     "jsonl_gz_roundtrip",
 ]
 
@@ -135,6 +136,7 @@ def run_headline() -> None:
         _ann_pq_neighbors,
         _communities_actor_labels,
         _flagship_graph_outputs,
+        _hits_actor_scores,
         _pagerank_actor_ranks,
         _ppr_actor_ranks,
         _tree_order_distributed_rows,
@@ -147,6 +149,7 @@ def run_headline() -> None:
         "graph_communities": _communities_actor_labels,
         "ann_topk_pq": _ann_pq_neighbors,
         "graph_ppr": _ppr_actor_ranks,
+        "graph_hits": _hits_actor_scores,
     }
 
     per_query: dict[str, float] = {}

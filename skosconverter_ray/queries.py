@@ -1512,6 +1512,84 @@ def graph_pagerank(sf_dir: str):
     })
 
 
+@_q(
+    "graph_hits",
+    """
+    SELECT (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+         + (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_nodes,
+           true AS engines_match,
+           true AS norms_unit,
+           true AS bipartite_split
+    """,
+)
+def graph_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    supplier->part lineitem graph — here the decomposition is exactly
+    interpretable: suppliers are pure hubs (no in-edges => auth 0) and
+    parts pure authorities (no out-edges => hub 0), which the
+    bipartite_split bit pins structurally. Oracle row: n_nodes is
+    SQL-live; engines_match pins the shard-actor engine to the driver
+    numpy engine on both scores (per-node |Δ| < 1e-9, full-outer
+    cogroup — rank tables never fold to the driver); norms_unit pins
+    ||hub||2 = ||auth||2 = 1 after the final round."""
+    from .stages.graph import hits
+    from .stages.joinutil import cogroup_join
+
+    edge_ds = _pagerank_edges(sf_dir)
+    driver = hits(edge_ds, n_iter=5).materialize()
+    actors = hits(edge_ds, n_iter=5, max_driver_edges=0,
+                  num_shards=8).materialize()
+
+    schema = pa.schema([("node", pa.string()), ("hub", pa.float64()),
+                        ("auth", pa.float64())])
+    joined = cogroup_join(
+        driver, actors.map_batches(
+            lambda b: pa.table({"node": b["node"], "hub_b": b["hub"],
+                                "auth_b": b["auth"]}),
+            batch_format="pyarrow"),
+        left_on="node", right_on="node", join_type="full outer",
+        num_buckets=8, left_schema=schema,
+        right_schema=pa.schema([("node", pa.string()),
+                                ("hub_b", pa.float64()),
+                                ("auth_b", pa.float64())]))
+    n_nodes = driver.count()
+    bad = 0
+    h_ssq = a_ssq = 0.0
+    split_ok = True
+    for b in joined.iter_batches(batch_format="pyarrow",
+                                 batch_size=8192):
+        for col, col_b in (("hub", "hub_b"), ("auth", "auth_b")):
+            diff = pc.abs(pc.subtract(b[col], b[col_b]))
+            bad += b.num_rows - pc.sum(
+                pc.cast(pc.and_(pc.is_valid(diff),
+                                pc.less(diff, pa.scalar(1e-9))),
+                        pa.int64())).as_py()
+        h = b["hub"].to_numpy(zero_copy_only=False)
+        a = b["auth"].to_numpy(zero_copy_only=False)
+        h_ssq += float((h * h).sum())
+        a_ssq += float((a * a).sum())
+        is_sup = pc.starts_with(b["node"], "s").to_numpy(
+            zero_copy_only=False)
+        split_ok &= bool((a[is_sup] == 0.0).all()
+                         and (h[~is_sup] == 0.0).all())
+    norms_unit = abs(h_ssq - 1.0) < 1e-9 and abs(a_ssq - 1.0) < 1e-9
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "engines_match": pa.array([bad == 0], pa.bool_()),
+        "norms_unit": pa.array([bool(norms_unit)], pa.bool_()),
+        "bipartite_split": pa.array([bool(split_ok)], pa.bool_()),
+    })
+
+
+def _hits_actor_scores(sf_dir: str):
+    """Shard-actor HITS over the lineitem graph (bench entry: the
+    distributed engine alone, no parity replay)."""
+    from .stages.graph import hits
+
+    return hits(_pagerank_edges(sf_dir), n_iter=5, max_driver_edges=0,
+                num_shards=8)
+
+
 def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None,
                            min_weight: int | None = None):
     """Supplier co-part edges (a, b int64; a and b supply a common
@@ -6143,7 +6221,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

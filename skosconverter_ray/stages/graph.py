@@ -683,3 +683,238 @@ def triangle_count(edges_ds, *, num_buckets: int = 16,
                                  batch_size=65536):
         n_tri += pc.sum(b["n_wedge"]).as_py() or 0
     return int(n_tri), int(n_edges)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+# hyperlinked environment") — the mutual-reinforcement iterative pair:
+# a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each L2-normalized per
+# round. Two engines sharing one update rule: a driver numpy path
+# under the edge gate and a Pregel shard-actor path above it.
+# ---------------------------------------------------------------------------
+
+def _hits_driver(norm_ds, *, n_iter: int):
+    import ray.data as rd
+
+    srcs, dsts = [], []
+    for b in norm_ds.iter_batches(batch_format="pyarrow",
+                                  batch_size=262144):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = np.concatenate(srcs) if srcs else np.array([], dtype=object)
+    dst = np.concatenate(dsts) if dsts else np.array([], dtype=object)
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    m = len(src)
+    src_i, dst_i = inv[:m], inv[m:]
+    n = len(nodes)
+    h = np.full(n, 1.0 / np.sqrt(max(1, n)))
+    a = h.copy()
+    for _ in range(n_iter):
+        a = np.bincount(dst_i, weights=h[src_i], minlength=n)
+        na = np.sqrt(float((a * a).sum()))
+        if na > 0:
+            a /= na
+        h = np.bincount(src_i, weights=a[dst_i], minlength=n)
+        nh = np.sqrt(float((h * h).sum()))
+        if nh > 0:
+            h /= nh
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "hub": pa.array(h, pa.float64()),
+        "auth": pa.array(a, pa.float64())}))
+
+
+class _HITSShard:
+    """One hubs/authorities shard (``ray.remote`` at use). Owns the
+    (hub, auth) state for nodes hashing to its bucket plus BOTH edge
+    splits: src-sharded edges emit hub mass toward dsts (the auth
+    half-round), dst-sharded edges emit auth mass toward srcs (the hub
+    half-round) — each half-round's messages read only LOCAL state, so
+    a round is two emit/apply RPC waves and two scalar folds (the L2
+    norms), zero Dataset exchanges. Route tables for both directions
+    precompute once in load(), same shape as _PRShard."""
+
+    def __init__(self, bucket: int, n_buckets: int):
+        self.b, self.B = bucket, n_buckets
+
+    @staticmethod
+    def _routes(key_np, n_buckets):
+        from ..functions.hashing import bucket_of
+
+        if len(key_np) == 0:
+            return [None] * n_buckets
+        bk = bucket_of(pa.array(key_np.tolist(), pa.string()),
+                       n_buckets).to_numpy(zero_copy_only=False)
+        routes = []
+        for t in range(n_buckets):
+            sel = np.where(bk == t)[0]
+            if sel.size == 0:
+                routes.append(None)
+                continue
+            order = sel[np.argsort(key_np[sel], kind="stable")]
+            uniq, starts = np.unique(key_np[order], return_index=True)
+            routes.append(
+                (order, pa.array(uniq.tolist(), pa.string()), starts))
+        return routes
+
+    def load(self, src_edge_refs, dst_edge_refs) -> int:
+        import ray
+
+        def cat(refs, schema_cols):
+            tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+            return (pa.concat_tables(tbls) if tbls
+                    else pa.table({c: pa.array([], pa.string())
+                                   for c in schema_cols}))
+
+        se = cat(src_edge_refs, ("src", "dst"))   # src hashes here
+        de = cat(dst_edge_refs, ("src", "dst"))   # dst hashes here
+        s_src = se["src"].combine_chunks()
+        d_dst = de["dst"].combine_chunks()
+        self.nodes = pa.array(np.unique(np.concatenate((
+            s_src.to_numpy(zero_copy_only=False),
+            d_dst.to_numpy(zero_copy_only=False)))), pa.string())
+        # auth half-round: hub mass flows src -> dst over src-sharded
+        # edges; h(src) is local
+        si = pc.index_in(s_src, value_set=self.nodes)
+        self.h_src_idx = si.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if se.num_rows else np.empty(0, np.int64)
+        self.auth_routes = self._routes(
+            np.asarray(se["dst"].to_pylist(), dtype=object), self.B)
+        # hub half-round: auth mass flows dst -> src over dst-sharded
+        # edges; a(dst) is local
+        di = pc.index_in(d_dst, value_set=self.nodes)
+        self.a_dst_idx = di.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if de.num_rows else np.empty(0, np.int64)
+        self.hub_routes = self._routes(
+            np.asarray(de["src"].to_pylist(), dtype=object), self.B)
+        return len(self.nodes)
+
+    def init(self, n_nodes: int) -> None:
+        v = 1.0 / np.sqrt(max(1, n_nodes))
+        self.h = np.full(len(self.nodes), v)
+        self.a = np.full(len(self.nodes), v)
+
+    def _emit(self, state, idx, routes):
+        import ray
+
+        m_all = state[idx]
+        refs = []
+        for r in routes:
+            if r is None:
+                refs.append(None)
+                continue
+            order, uniq, starts = r
+            refs.append(ray.put(pa.table(
+                {"node": uniq,
+                 "m": np.add.reduceat(m_all[order], starts)})))
+        return refs
+
+    def emit_auth(self):
+        return self._emit(self.h, self.h_src_idx, self.auth_routes)
+
+    def emit_hub(self):
+        return self._emit(self.a, self.a_dst_idx, self.hub_routes)
+
+    def _apply(self, msg_refs) -> tuple[float, np.ndarray]:
+        import ray
+
+        acc = np.zeros(len(self.nodes))
+        for tbl in ray.get(list(msg_refs)):
+            idx = pc.index_in(tbl["node"].combine_chunks(),
+                              value_set=self.nodes)
+            np.add.at(acc, idx.to_numpy(zero_copy_only=False)
+                      .astype(np.int64),
+                      tbl["m"].to_numpy(zero_copy_only=False))
+        return float((acc * acc).sum()), acc
+
+    def apply_auth(self, msg_refs) -> float:
+        ssq, acc = self._apply(msg_refs)
+        self.a = acc
+        return ssq
+
+    def apply_hub(self, msg_refs) -> float:
+        ssq, acc = self._apply(msg_refs)
+        self.h = acc
+        return ssq
+
+    def scale_auth(self, norm: float) -> None:
+        if norm > 0:
+            self.a /= norm
+
+    def scale_hub(self, norm: float) -> None:
+        if norm > 0:
+            self.h /= norm
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": self.nodes,
+                         "hub": pa.array(self.h, pa.float64()),
+                         "auth": pa.array(self.a, pa.float64())})
+
+
+def _hits_actors(norm, *, n_iter: int, num_shards: int):
+    import ray
+    import ray.data as rd
+
+    from .shardutil import split_dataset_by_bucket
+
+    B = num_shards
+    src_cols = split_dataset_by_bucket(norm, "src", B)
+    dst_cols = split_dataset_by_bucket(norm, "dst", B)
+    Shard = ray.remote(num_cpus=0)(_HITSShard)
+    shards = [Shard.remote(b, B) for b in range(B)]
+    try:
+        n_nodes = sum(ray.get([s.load.remote(src_cols[b], dst_cols[b])
+                               for b, s in enumerate(shards)]))
+        ray.get([s.init.remote(n_nodes) for s in shards])
+        for _ in range(n_iter):
+            outs = ray.get([s.emit_auth.remote() for s in shards])
+            inbox = [[outs[b][t] for b in range(B)
+                      if outs[b][t] is not None] for t in range(B)]
+            ssq = sum(ray.get([s.apply_auth.remote(inbox[t])
+                               for t, s in enumerate(shards)]))
+            ray.get([s.scale_auth.remote(float(np.sqrt(ssq)))
+                     for s in shards])
+            outs = ray.get([s.emit_hub.remote() for s in shards])
+            inbox = [[outs[b][t] for b in range(B)
+                      if outs[b][t] is not None] for t in range(B)]
+            ssq = sum(ray.get([s.apply_hub.remote(inbox[t])
+                               for t, s in enumerate(shards)]))
+            ray.get([s.scale_hub.remote(float(np.sqrt(ssq)))
+                     for s in shards])
+        out = rd.from_arrow_refs(
+            [s.result.remote() for s in shards]).materialize()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return out
+
+
+def hits(edges_ds, *, n_iter: int = 20, src_col: str = "src",
+         dst_col: str = "dst", max_driver_edges: int = 4_000_000,
+         num_shards: int = 8, engine: str = "auto"):
+    """(src, dst) string-keyed edges -> (node, hub, auth) Dataset.
+    ``max_driver_edges`` gates the numpy fast path; pass 0 to force
+    the shard-actor engine (parity tests do). The L2 normalization
+    scalars fold on the driver each half-round — two floats per wave,
+    never rank-table-sized state."""
+    import ray.data as rd
+
+    def edge_norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch[src_col], pa.string()),
+            "dst": pc.cast(batch[dst_col], pa.string()),
+        })
+
+    norm = (edges_ds.map_batches(edge_norm, batch_format="pyarrow")
+            .materialize())
+    n_edges = norm.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64())}))
+    if n_edges <= max_driver_edges and engine == "auto":
+        return _hits_driver(norm, n_iter=n_iter)
+    return _hits_actors(norm, n_iter=n_iter,
+                        num_shards=max(2, min(num_shards, 8)))

@@ -145,3 +145,51 @@ def test_personalized_pagerank_no_seed_in_graph_raises(ray_session):
 
     with _pt.raises(ValueError):
         _run(_EDGES, n_iter=2, seeds=["nope"])
+
+
+def _hits_oracle(edges, n_iter=8):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = h.copy()
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[idx[t]] += h[idx[s]]
+        a /= np.sqrt((a * a).sum()) or 1.0
+        h = np.zeros(n)
+        for s, t in edges:
+            h[idx[s]] += a[idx[t]]
+        h /= np.sqrt((h * h).sum()) or 1.0
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+@pytest.mark.parametrize("forced", [False, True])
+def test_hits_engines_match_sequential_oracle(ray_session, forced):
+    from skosconverter_ray.stages.graph import hits
+
+    edges = _EDGES + [("b", "d"), ("d", "c")]
+    ds = rd.from_items([{"src": s, "dst": t} for s, t in edges])
+    kw = {"max_driver_edges": 0} if forced else {}
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(ds, n_iter=8, num_shards=4, **kw).take_all()}
+    want = _hits_oracle(edges, n_iter=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - want[v][1]) < 1e-9, ("auth", v)
+    # c receives from a, e, f, d -> the authority; c also points at
+    # the hub-heavy side
+    top_auth = max(got, key=lambda v: got[v][1])
+    assert top_auth == "c"
+
+
+def test_hits_multi_edge_weighting(ray_session):
+    from skosconverter_ray.stages.graph import hits
+
+    # duplicate edge doubles the contribution, shifting authority to y
+    edges = [("u", "x"), ("u", "y"), ("u", "y")]
+    ds = rd.from_items([{"src": s, "dst": t} for s, t in edges])
+    got = {r["node"]: r["auth"] for r in hits(ds, n_iter=4).take_all()}
+    assert got["y"] > got["x"] > 0
