@@ -79,6 +79,7 @@ HEADLINE = [
     "graph_ppr",
     "graph_hits",
     "jsonl_gz_roundtrip",
+    "doc_normalize_dedup",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

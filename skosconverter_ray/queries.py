@@ -5966,6 +5966,70 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: Unicode-normalization dedup — byte-different texts that
+# are the same string after NFC + case folding collapse to one
+# canonical doc (the step BEFORE exact hashing in a crawl pipeline)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_normalize_dedup",
+    """
+    WITH n AS (
+      SELECT doc_id, lower(nfc_normalize(text)) AS norm FROM documents
+    )
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canonical_id
+    FROM n
+    """,
+)
+def doc_normalize_dedup(sf_dir: str):
+    """Normalization-aware exact dedup: texts equal after NFC
+    normalization + Unicode lowercasing (both utf8proc semantics —
+    Arrow's utf8_normalize/utf8_lower and DuckDB's nfc_normalize/lower
+    agree) share one canonical_id = the group's min doc_id. This is
+    the cleanup pass that catches composed-vs-decomposed accents and
+    case variants that byte-exact content hashing misses. Shape: one
+    vectorized normalize map, one bucket aggregate keyed on the
+    normalized string (the exchange routes by the string's HASH —
+    bucket_aggregate's bucket_key — while in-bucket grouping keys on
+    the full string: exactly the prehash-then-verify shape a 100 TB
+    run needs), one cogroup join back."""
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm": pc.utf8_lower(pc.utf8_normalize(batch["text"],
+                                                    form="NFC")),
+        })
+
+    normed = ds.map_batches(norm, batch_format="pyarrow").materialize()
+    canon = bucket_aggregate(normed, ["norm"],
+                             [("min", "doc_id", "canonical_id")],
+                             num_buckets=nb)
+    joined = cogroup_join(
+        normed, canon.map_batches(
+            lambda b: pa.table({"cnorm": b["norm"],
+                                "canonical_id": b["canonical_id"]}),
+            batch_format="pyarrow"),
+        left_on="norm", right_on="cnorm", join_type="inner",
+        num_buckets=nb,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("norm", pa.string())]),
+        right_schema=pa.schema([("cnorm", pa.string()),
+                                ("canonical_id", pa.int64())]))
+    return _collect(
+        joined.map_batches(
+            lambda b: b.select(["doc_id", "canonical_id"]),
+            batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()),
+                   ("canonical_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: deterministic training shuffle — shard assignment + a
 # pseudorandom within-shard order, stable under reruns
 # ---------------------------------------------------------------------------
@@ -6221,7 +6285,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
