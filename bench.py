@@ -80,6 +80,7 @@ HEADLINE = [
     "graph_hits",
     "jsonl_gz_roundtrip",
     "doc_normalize_dedup",
+    "events_value_mad_outliers",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -5966,6 +5966,100 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: robust per-key outlier detection via MAD (median absolute
+# deviation) — the data-cleaning gate that mean/std can't provide on
+# heavy-tailed value columns
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_value_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           min(d.med) AS med, min(mad.mad) AS mad
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_value_mad_outliers(sf_dir: str):
+    """Robust outlier counting: per event_type, median and MAD (the
+    median of absolute deviations — both exact quantile_disc element
+    picks, so the doubles match DuckDB bit-for-bit), then count values
+    with |v - med| > 3*MAD. Mean/std clips badly on heavy tails; MAD
+    is the standard robust gate. Shape: two per_key_quantiles passes
+    (each one bucket cogroup + lexsort), medians/MADs broadcast as
+    dimension-sized dicts into one stateless scoring map, one tiny
+    final aggregate — the raw value column never shuffles twice."""
+    from .stages.quantile import per_key_quantiles
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    med = {r["event_type"]: r["med"]
+           for b in per_key_quantiles(ds, "event_type", "value",
+                                      {"med": 0.5})
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+
+    def adev(batch: pa.Table, _m=med) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        m = np.array([_m[t] for t in et], np.float64)
+        return pa.table({"event_type": batch["event_type"],
+                         "adev": pa.array(np.abs(v - m), pa.float64())})
+
+    dev = ds.map_batches(adev, batch_format="pyarrow").materialize()
+    mad = {r["event_type"]: r["mad"]
+           for b in per_key_quantiles(dev, "event_type", "adev",
+                                      {"mad": 0.5})
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+
+    def score(batch: pa.Table, _mad=mad) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        a = batch["adev"].to_numpy(zero_copy_only=False)
+        thr = np.array([3.0 * _mad[t] for t in et], np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(a), np.int64)),
+            "n_outliers": pa.array((a > thr).astype(np.int64)),
+        })
+
+    out = bucket_aggregate(
+        dev.map_batches(score, batch_format="pyarrow"), ["event_type"],
+        [("sum", "n", "n"), ("sum", "n_outliers", "n_outliers")],
+        num_buckets=4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": batch["n"], "n_outliers": batch["n_outliers"],
+            "med": pa.array([med[t] for t in et], pa.float64()),
+            "mad": pa.array([mad[t] for t in et], pa.float64()),
+        })
+
+    return _collect(out.map_batches(fin, batch_format="pyarrow"),
+                    pa.schema([("event_type", pa.string()),
+                               ("n", pa.int64()),
+                               ("n_outliers", pa.int64()),
+                               ("med", pa.float64()),
+                               ("mad", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: Unicode-normalization dedup — byte-different texts that
 # are the same string after NFC + case folding collapse to one
 # canonical doc (the step BEFORE exact hashing in a crawl pipeline)
@@ -6285,7 +6379,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
