@@ -81,6 +81,7 @@ HEADLINE = [
     "jsonl_gz_roundtrip",
     "doc_normalize_dedup",
     "events_value_mad_outliers",
+    "doc_blocklist_flags",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -5966,6 +5966,57 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: blocklist content gate — wordlist hit counting + a
+# fraction threshold (the NSFW/toxicity lexicon gate of public corpus
+# pipelines; the lexicon here is a neutral stand-in list)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "big", "merge", "stream")  # stand-in lexicon
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+@_q(
+    "doc_blocklist_flags",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BLOCK_RE}'))
+             AS n_hits,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS n_tokens,
+           len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) * 100
+             >= len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 5
+             AS flagged
+    FROM documents
+    """,
+)
+def doc_blocklist_flags(sf_dir: str):
+    """Lexicon content gate (the Dolma/RedPajama-style blocklist
+    filter, with a neutral stand-in wordlist): per document, blocklist
+    hit count, token count, and a flag when hits reach 5% of tokens —
+    the threshold test is integer cross-multiplication (hits*100 >=
+    tokens*5) so no float ratio can flap the oracle. One zero-shuffle
+    map of two vectorized RE2 counts; the compiled alternation rides
+    the task closure (a real lexicon of thousands of terms would load
+    once per actor exactly like stages/linker.py's Aho-Corasick
+    automaton — that stage IS the scale path for big lexicons)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        hits = pc.cast(pc.count_substring_regex(low, _BLOCK_RE),
+                       pa.int64())
+        toks = pc.cast(pc.count_substring_regex(low, r"[a-z0-9]+"),
+                       pa.int64())
+        h = hits.to_numpy(zero_copy_only=False)
+        t = toks.to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_hits": hits, "n_tokens": toks,
+                         "flagged": pa.array(h * 100 >= t * 5)})
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Events: robust per-key outlier detection via MAD (median absolute
 # deviation) — the data-cleaning gate that mean/std can't provide on
 # heavy-tailed value columns
@@ -6379,7 +6430,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
