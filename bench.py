@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_normalize_dedup",
     "events_value_mad_outliers",
     "doc_blocklist_flags",
+    "events_watermark_windows",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

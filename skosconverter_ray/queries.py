@@ -5966,6 +5966,93 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: event-time tumbling windows with a WATERMARK and late-data
+# accounting — the streaming semantics the reference has none of
+# (SURVEY §2.9), made deterministic by defining arrival order as the
+# event_id sequence
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_watermark_windows",
+    """
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY (event_id // 8) * 8
+                                    + ((event_id % 8) * 3 + 1) % 8
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS wm_ts
+      FROM events
+    )
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+           CAST(count(*) FILTER (WHERE epoch_us(wm_ts) - epoch_us(ts)
+                                       <= 600000000) AS BIGINT)
+             AS n_ontime,
+           CAST(count(*) FILTER (WHERE epoch_us(wm_ts) - epoch_us(ts)
+                                       > 600000000) AS BIGINT)
+             AS n_late
+    FROM arr GROUP BY window_id
+    """,
+)
+def events_watermark_windows(sf_dir: str):
+    """Event-time tumbling 1-hour windows under a watermark with 10
+    minutes of allowed lateness — the classic streaming-semantics
+    triple (event time vs arrival order, watermark as the running max
+    of seen event times, late-data policy), deterministic because
+    arrival order is a fixed BOUNDED-DISORDER permutation of the
+    event_id sequence (a within-8-row-block bijection: the synthetic
+    events arrive exactly in time order, which would never produce a
+    late row; real streams have bounded skew, which this simulates
+    without touching the data). A row is late when the
+    watermark at its arrival has advanced more than the lateness bound
+    past its own event time; per window the query reports on-time and
+    late counts (a streaming runner would emit the on-time aggregate
+    at watermark passage and route late rows to a side output).
+
+    Shape: the watermark is an INCLUSIVE running max in arrival order
+    = stages/scan.keyed_prefix_max (two-phase distributed scan: per-
+    bucket maxima fold as num_buckets scalars on the driver, one pass
+    adds bucket bases to local cummaxes — every row moves once), then
+    one stateless window/late tag map and one tiny window aggregate."""
+    from .stages.scan import keyed_prefix_max
+    from .stages.skew import bucket_aggregate
+
+    n = _meta_rows(sf_dir, "events")
+    hour_us, late_us = 3_600_000_000, 600_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        arrival = (e // 8) * 8 + ((e % 8) * 3 + 1) % 8
+        return pa.table({"arrival": pa.array(arrival, pa.int64()),
+                         "ts_us": pc.cast(batch["ts"], pa.int64())})
+
+    wm = keyed_prefix_max(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key="arrival", value="ts_us", key_range=(0, n + 7),
+        num_buckets=_adaptive_buckets(sf_dir, "events",
+                                      rows_per_bucket=4000),
+        out_col="wm_us")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        w = batch["wm_us"].to_numpy(zero_copy_only=False)
+        late = (w - ts > late_us)
+        return pa.table({
+            "window_id": pa.array(ts // hour_us, pa.int64()),
+            "n_ontime": pa.array((~late).astype(np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+        })
+
+    out = bucket_aggregate(
+        wm.map_batches(tag, batch_format="pyarrow"), ["window_id"],
+        [("sum", "n_ontime", "n_ontime"), ("sum", "n_late", "n_late")],
+        num_buckets=8)
+    return _collect(out, pa.schema([("window_id", pa.int64()),
+                                    ("n_ontime", pa.int64()),
+                                    ("n_late", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: blocklist content gate — wordlist hit counting + a
 # fraction threshold (the NSFW/toxicity lexicon gate of public corpus
 # pipelines; the lexicon here is a neutral stand-in list)
@@ -6430,7 +6517,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
