@@ -4,9 +4,20 @@
 into per-bucket table refs: one remote split task per block, data
 moving block → split task → shard actor (twice, setup only). Shard
 actors then ``ray.get`` exactly their column of refs — the driver
-relays refs, never rows. Used by the PageRank shard engine
-(stages/graph.py) and the tree-order propagation shards
-(stages/hierarchy.py)."""
+relays refs, never rows. Used by the PageRank/PPR and HITS shard
+engines (stages/graph.py), the tree-order propagation shards
+(stages/hierarchy.py), the union-find shards (canonicalize.py), and
+the label-propagation shards (communities.py).
+
+Fault model (deliberate): shard actors are assumed live for the
+duration of ONE stage run — they hold in-memory iteration state that
+Ray could not transparently rebuild, so the engines do NOT set
+max_restarts. Recovery is re-running the stage: its inputs are always
+MATERIALIZED datasets (pinned blocks / lineage), the actors are
+created per run and ``ray.kill``-ed in ``finally``, and the stage is
+deterministic, so a re-run is bit-identical. At cluster scale that
+re-run is bounded by one stage, never the whole pipeline — the same
+contract Ray Data itself offers for a failed all-to-all."""
 
 from __future__ import annotations
 
