@@ -215,3 +215,75 @@ def test_distributed_canonicalization_million_nodes(ray_session, monkeypatch):
             assert c == f"{ALT_NS}n{root:07d}", (u, c)
     # every non-root node appears exactly once
     assert n_rows == N - N // CLUSTER
+
+
+# ---------------------------------------------------------------------------
+# Round-4 primitives: CMS one-sided bound, span interval-union
+# arithmetic, inclusive prefix max — each vs a brute-force oracle on
+# hypothesis-generated inputs (no Ray needed: pure kernels)
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=400),
+       st.integers(16, 128))
+@_SETTINGS
+def test_cms_never_undercounts_property(items, width):
+    import numpy as np
+
+    from skosconverter_ray.stages.sketch import cms_estimate, cms_partial
+
+    toks = [f"t{i}" for i in items]
+    mat = cms_partial(pa.array(toks), None, width=width)
+    from collections import Counter
+    exact = Counter(toks)
+    keys = sorted(exact)
+    est = cms_estimate(mat, pa.array(keys))
+    ex = np.array([exact[k] for k in keys])
+    assert (est >= ex).all()
+    # total mass is conserved exactly in every row
+    assert (mat.sum(axis=1) == len(toks)).all()
+
+
+@given(st.lists(st.integers(0, 60), min_size=0, max_size=60,
+                unique=True))
+@_SETTINGS
+def test_span_interval_union_telescoping_property(starts):
+    """Σ min(gap, n) over sorted starts == |union of [s, s+n-1]| —
+    the arithmetic doc_span_dedup's cov_bucket relies on."""
+    import numpy as np
+
+    n = 5
+    s = np.array(sorted(starts), np.int64)
+    if len(s) == 0:
+        return
+    d = np.full(len(s), n, np.int64)
+    if len(s) > 1:
+        d[1:] = np.minimum(s[1:] - s[:-1], n)
+    covered = set()
+    for x in s:
+        covered.update(range(x, x + n))
+    assert int(d.sum()) == len(covered)
+
+
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=300))
+@_SETTINGS
+def test_prefix_max_bucket_fold_property(vals):
+    """The two-phase max-scan's bucket algebra: exclusive-scanned
+    bucket maxima + local inclusive cummax == global cummax, for any
+    bucket split."""
+    import numpy as np
+
+    v = np.array(vals, np.int64)
+    want = np.maximum.accumulate(v)
+    NEG = np.iinfo(np.int64).min
+    for nb in (1, 2, 3, 7):
+        cuts = np.linspace(0, len(v), nb + 1).astype(int)
+        maxes = np.array([v[a:b].max() if b > a else NEG
+                          for a, b in zip(cuts[:-1], cuts[1:])])
+        base = np.full(nb, NEG, np.int64)
+        base[1:] = np.maximum.accumulate(maxes[:-1])
+        got = np.concatenate([
+            np.maximum(np.maximum.accumulate(v[a:b]), base[i])
+            if b > a else np.empty(0, np.int64)
+            for i, (a, b) in enumerate(zip(cuts[:-1], cuts[1:]))])
+        assert (got == want).all()
