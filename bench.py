@@ -83,6 +83,7 @@ HEADLINE = [
     "events_value_mad_outliers",
     "doc_blocklist_flags",
     "events_watermark_windows",
+    "events_value_winsorized",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

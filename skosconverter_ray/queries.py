@@ -5966,6 +5966,75 @@ def doc_dsir_selection(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: winsorized robust aggregate — clip to per-key [p01, p99]
+# before summing (the tail-taming companion of the MAD gate)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_value_winsorized",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_disc(value, 0.01) AS p01,
+             quantile_disc(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(trunc(least(greatest(e.value, q.p01), q.p99)
+                               * 100) AS BIGINT)) AS BIGINT)
+             AS winsorized_cents,
+           CAST(sum(CASE WHEN e.value < q.p01 OR e.value > q.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_value_winsorized(sf_dir: str):
+    """Winsorized per-key totals: values clip to the key's exact
+    [p01, p99] (quantile_disc element picks — the SAME doubles on both
+    engines) before truncating to integer cents and summing, plus the
+    clipped-row count. The robust-total companion of the MAD outlier
+    gate: a fat-finger value moves the total by at most the p99 bound.
+    Shape: one per_key_quantiles pass, the dimension-sized bound map
+    broadcast into a stateless clip map, one bucket aggregate —
+    integer sums keep any reduction order oracle-exact."""
+    from .stages.quantile import per_key_quantiles
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    bounds = {r["event_type"]: (r["p01"], r["p99"])
+              for b in per_key_quantiles(ds, "event_type", "value",
+                                         {"p01": 0.01, "p99": 0.99})
+              .iter_batches(batch_format="pyarrow")
+              for r in b.to_pylist()}
+
+    def clip(batch: pa.Table, _b=bounds) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        lo = np.array([_b[t][0] for t in et], np.float64)
+        hi = np.array([_b[t][1] for t in et], np.float64)
+        w = np.minimum(np.maximum(v, lo), hi)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(v), np.int64)),
+            "winsorized_cents": pa.array(
+                np.trunc(w * 100.0).astype(np.int64)),
+            "n_clipped": pa.array(((v < lo) | (v > hi))
+                                  .astype(np.int64)),
+        })
+
+    out = bucket_aggregate(
+        ds.map_batches(clip, batch_format="pyarrow"), ["event_type"],
+        [("sum", "n", "n"),
+         ("sum", "winsorized_cents", "winsorized_cents"),
+         ("sum", "n_clipped", "n_clipped")], num_buckets=4)
+    return _collect(out, pa.schema([("event_type", pa.string()),
+                                    ("n", pa.int64()),
+                                    ("winsorized_cents", pa.int64()),
+                                    ("n_clipped", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Events: event-time tumbling windows with a WATERMARK and late-data
 # accounting — the streaming semantics the reference has none of
 # (SURVEY §2.9), made deterministic by defining arrival order as the
@@ -6517,7 +6586,7 @@ _GATE_FIRST = [
     # new in round 4 — no driver row yet
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
-    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows",
+    "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
