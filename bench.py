@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_blocklist_flags",
     "events_watermark_windows",
     "events_value_winsorized",
+    "curation_v2_pipeline",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -3452,7 +3452,7 @@ def doc_dedup_clusters(sf_dir: str):
     FROM rk
     """,
 )
-def doc_cluster_sample(sf_dir: str):
+def _cluster_sample_ds(sf_dir: str):
     """Cluster-aware downsampling: near-dup clusters (the MinHash+LSH
     verified pair graph's connected components, singletons included)
     keep ceil(sqrt(size)) members each — hard dedup keeps 1 and loses
@@ -3519,7 +3519,22 @@ def doc_cluster_sample(sf_dir: str):
         joined.map_batches(tag, batch_format="pyarrow").materialize(),
         "_bucket", nb, sample_bucket,
         empty_result=out_schema.empty_table())
-    return _collect(out, out_schema)
+    return out
+
+
+_CLUSTER_SAMPLE_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                                    ("rep_id", pa.int64()),
+                                    ("cluster_size", pa.int64()),
+                                    ("kept", pa.bool_())])
+
+
+def doc_cluster_sample(sf_dir: str):
+    """Collected wrapper of _cluster_sample_ds (the registered gate
+    entry)."""
+    return _collect(_cluster_sample_ds(sf_dir), _CLUSTER_SAMPLE_SCHEMA)
+
+
+QUERIES["doc_cluster_sample"] = doc_cluster_sample
 
 
 # ---------------------------------------------------------------------------
@@ -5867,7 +5882,7 @@ def supplier_nation_join(sf_dir: str):
     GROUP BY doc_id
     """,
 )
-def doc_dsir_selection(sf_dir: str):
+def _dsir_ds(sf_dir: str):
     """DSIR-style data selection: importance weight of each document
     under a target-domain LM (here: the lang='en' slice) vs the raw
     corpus LM, both Laplace-smoothed unigram models over the shared
@@ -5958,11 +5973,22 @@ def doc_dsir_selection(sf_dir: str):
             "selected", pc.greater_equal(batch["dsir_bits"],
                                          pa.scalar(0, pa.int64())))
 
-    return _collect(out.map_batches(fin, batch_format="pyarrow"),
-                    pa.schema([("doc_id", pa.int64()),
-                               ("n_tokens", pa.int64()),
-                               ("dsir_bits", pa.int64()),
-                               ("selected", pa.bool_())]))
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_DSIR_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                          ("n_tokens", pa.int64()),
+                          ("dsir_bits", pa.int64()),
+                          ("selected", pa.bool_())])
+
+
+def doc_dsir_selection(sf_dir: str):
+    """Collected wrapper of _dsir_ds (the registered gate entry —
+    _collect keeps the schema stable even on empty results)."""
+    return _collect(_dsir_ds(sf_dir), _DSIR_SCHEMA)
+
+
+QUERIES["doc_dsir_selection"] = doc_dsir_selection
 
 
 # ---------------------------------------------------------------------------
@@ -6282,7 +6308,7 @@ def events_value_mad_outliers(sf_dir: str):
     FROM n
     """,
 )
-def doc_normalize_dedup(sf_dir: str):
+def _normalize_dedup_ds(sf_dir: str):
     """Normalization-aware exact dedup: texts equal after NFC
     normalization + Unicode lowercasing (both utf8proc semantics —
     Arrow's utf8_normalize/utf8_lower and DuckDB's nfc_normalize/lower
@@ -6322,12 +6348,20 @@ def doc_normalize_dedup(sf_dir: str):
                                ("norm", pa.string())]),
         right_schema=pa.schema([("cnorm", pa.string()),
                                 ("canonical_id", pa.int64())]))
-    return _collect(
-        joined.map_batches(
-            lambda b: b.select(["doc_id", "canonical_id"]),
-            batch_format="pyarrow"),
-        pa.schema([("doc_id", pa.int64()),
-                   ("canonical_id", pa.int64())]))
+    return joined.map_batches(
+        lambda b: b.select(["doc_id", "canonical_id"]),
+        batch_format="pyarrow")
+
+
+def doc_normalize_dedup(sf_dir: str):
+    """Collected wrapper of _normalize_dedup_ds (the registered gate
+    entry)."""
+    return _collect(_normalize_dedup_ds(sf_dir),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("canonical_id", pa.int64())]))
+
+
+QUERIES["doc_normalize_dedup"] = doc_normalize_dedup
 
 
 # ---------------------------------------------------------------------------
@@ -6575,6 +6609,148 @@ def events_transition_matrix(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Capstone composition: curation v2 — the round-4 operators chained
+# into one end-to-end corpus curation pipeline, oracle-checked as a
+# whole (normalize-dedup winners ∧ blocklist gate ∧ model quality ∧
+# DSIR target-affinity ∧ cluster-sample survivors -> per-lang stats)
+# ---------------------------------------------------------------------------
+
+def _quality_margin_sql(alias: str) -> str:
+    """The quality scorer's integer margin as a SQL expression over
+    ``alias``.text — shared by doc_model_quality's oracle and the
+    curation-v2 composition (one weights source, two consumers)."""
+    from .models import QUALITY_SCORER_PATH
+
+    z = np.load(QUALITY_SCORER_PATH)
+    w = z["w"].astype(np.int64)
+    b = int(z["b"])
+    stop = r"\b(the|a|of|and|to|in|is)\b"
+    t = f"{alias}.text"
+    return (f"({w[0]} * length({t}) "
+            f"+ {w[1]} * len(regexp_extract_all(lower({t}), '[a-z0-9]+')) "
+            f"+ {w[2]} * len(regexp_extract_all({t}, '[A-Za-z]')) "
+            f"+ {w[3]} * len(regexp_extract_all(lower({t}), '{stop}')) "
+            f"+ {b})")
+
+
+@_q(
+    "curation_v2_pipeline",
+    f"""
+    WITH nd AS ({{nd}}),
+         dsr AS ({{dsr}}),
+         cs AS ({{cs}})
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(dsr.n_tokens) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN nd ON nd.doc_id = d.doc_id AND nd.canonical_id = d.doc_id
+    JOIN dsr ON dsr.doc_id = d.doc_id
+            AND dsr.dsir_bits >= -dsr.n_tokens
+    JOIN cs ON cs.doc_id = d.doc_id AND cs.kept
+    WHERE len(regexp_extract_all(lower(d.text), '{_BLOCK_RE}')) * 100
+          < len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) * 5
+      AND {{margin}} >= 0
+    GROUP BY d.lang
+    """,
+)
+def curation_v2_pipeline(sf_dir: str):
+    """End-to-end curation v2 — the round-4 operator wave composed
+    into one pipeline and oracle-checked as a WHOLE (the composition
+    is where stage-boundary bugs live; each piece is also
+    independently gated):
+
+    1. Unicode-normalization dedup winners (doc_id == canonical_id);
+    2. blocklist gate (hits < 5% of tokens, integer cross-multiplied);
+    3. model quality (distilled integer-margin scorer >= 0, actor
+       pool);
+    4. DSIR target affinity (dsir_bits >= -n_tokens: at worst one
+       surprisal bit per token less target-like than corpus-average);
+    5. cluster-aware downsampling survivors (ceil(sqrt(size)) per
+       near-dup cluster).
+
+    Output: per-language doc and token counts of the final corpus.
+    Shape: gates 2-3 fuse into ONE stateless/actor map over the text;
+    winners 1, 4, 5 arrive as per-doc Datasets from the shared
+    operator helpers and intersect through THREE doc-bucket cogroup
+    semi/inner joins; one final lang aggregate. Nothing corpus-sized
+    ever lands on the driver."""
+    from .models import QualityScorer, quality_features
+    from .stages.joinutil import cogroup_join
+    from .stages.skew import bucket_aggregate
+
+    nb = _adaptive_buckets(sf_dir, "documents")
+
+    # gates 2+3 in one pass (quality weights load per actor)
+    class Gate23(QualityScorer):
+        def __call__(self, batch):
+            low = pc.utf8_lower(batch["text"])
+            hits = pc.count_substring_regex(low, _BLOCK_RE) \
+                .to_numpy(zero_copy_only=False)
+            toks = pc.count_substring_regex(low, r"[a-z0-9]+") \
+                .to_numpy(zero_copy_only=False)
+            margin = quality_features(batch["text"]) @ self.w + self.b
+            ok = (hits * 100 < toks * 5) & (margin >= 0)
+            return pa.table({"doc_id": batch["doc_id"],
+                             "lang": batch["lang"]}).filter(pa.array(ok))
+
+    base = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .map_batches(Gate23, concurrency=(1, 4), batch_size=1024,
+                     batch_format="pyarrow")
+    base_schema = pa.schema([("doc_id", pa.int64()),
+                             ("lang", pa.string())])
+
+    nd = _normalize_dedup_ds(sf_dir).map_batches(
+        lambda b: pa.table({"nd_doc": b["doc_id"]}).filter(
+            pc.equal(b["doc_id"], b["canonical_id"])),
+        batch_format="pyarrow")
+    s1 = cogroup_join(base, nd, left_on="doc_id", right_on="nd_doc",
+                      join_type="left semi", num_buckets=nb,
+                      left_schema=base_schema,
+                      right_schema=pa.schema([("nd_doc", pa.int64())]))
+
+    dsr = _dsir_ds(sf_dir).map_batches(
+        lambda b: pa.table({"ds_doc": b["doc_id"],
+                            "n_tokens": b["n_tokens"]}).filter(
+            pc.greater_equal(b["dsir_bits"],
+                             pc.negate(b["n_tokens"]))),
+        batch_format="pyarrow")
+    s2 = cogroup_join(s1, dsr, left_on="doc_id", right_on="ds_doc",
+                      join_type="inner", num_buckets=nb,
+                      left_schema=base_schema,
+                      right_schema=pa.schema([("ds_doc", pa.int64()),
+                                              ("n_tokens", pa.int64())]))
+
+    cs = _cluster_sample_ds(sf_dir).map_batches(
+        lambda b: pa.table({"cs_doc": b["doc_id"]}).filter(b["kept"]),
+        batch_format="pyarrow")
+    s3 = cogroup_join(s2, cs, left_on="doc_id", right_on="cs_doc",
+                      join_type="left semi", num_buckets=nb,
+                      left_schema=pa.schema([("doc_id", pa.int64()),
+                                             ("lang", pa.string()),
+                                             ("n_tokens", pa.int64())]),
+                      right_schema=pa.schema([("cs_doc", pa.int64())]))
+
+    out = bucket_aggregate(
+        s3.map_batches(
+            lambda b: pa.table({"lang": b["lang"],
+                                "n_docs": np.ones(b.num_rows, np.int64),
+                                "n_tokens": b["n_tokens"]}),
+            batch_format="pyarrow"),
+        ["lang"], [("sum", "n_docs", "n_docs"),
+                   ("sum", "n_tokens", "n_tokens")], num_buckets=4)
+    return _collect(out, pa.schema([("lang", pa.string()),
+                                    ("n_docs", pa.int64()),
+                                    ("n_tokens", pa.int64())]))
+
+
+ORACLE_SQL["curation_v2_pipeline"] = \
+    ORACLE_SQL["curation_v2_pipeline"].format(
+        nd=ORACLE_SQL["doc_normalize_dedup"],
+        dsr=ORACLE_SQL["doc_dsir_selection"],
+        cs=ORACLE_SQL["doc_cluster_sample"],
+        margin=_quality_margin_sql("d"))
+
+
+# ---------------------------------------------------------------------------
 # Gate ordering: the driver's correctness gate enumerates queries() in
 # dict order and has a finite budget (r02 recorded exactly the first 50
 # of 62). Put the entries that have never had a driver row FIRST so
@@ -6587,6 +6763,7 @@ _GATE_FIRST = [
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
+    "curation_v2_pipeline",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
