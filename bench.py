@@ -85,6 +85,7 @@ HEADLINE = [
     "events_watermark_windows",
     "events_value_winsorized",
     "curation_v2_pipeline",
+    "incremental_neardup",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

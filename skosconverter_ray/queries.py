@@ -6622,6 +6622,97 @@ def events_transition_matrix(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Cross-run NEAR-dup ingest (approximate sibling of incremental_ingest:
+# round B drops documents near-duplicating ANY earlier round's docs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "incremental_neardup",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    cross_dups AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b
+        ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.8
+    )
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             AS n_round_a,
+           CAST(0 AS BIGINT) AS a_dup,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+             AS n_round_b,
+           (SELECT count(*) FROM cross_dups) AS b_dup,
+           true AS reingest_all_dup
+    """,
+)
+def incremental_neardup(sf_dir: str):
+    """Cross-RUN near-dup dedup, oracle-visible as a two-round replay:
+    round A ingests the even-doc_id half into a fresh store
+    (stages/incremental.ingest_near_dup — LSH band index + compact
+    shingle shards, algo-stamped like the exact store), round B
+    ingests the odd half and must flag exactly the odd docs whose
+    EXACT word-3-gram jaccard vs some even doc reaches 0.8 (banding
+    proposes, exact verification decides — so the approximate index
+    can never change the answer, only the candidate count). DuckDB
+    recomputes the cross-half jaccard from scratch. reingest_all_dup
+    replays round B against the now-updated store: every doc must come
+    back dup-of-prior (each matches its own stored copy at jaccard 1)
+    and zero novel rows append — the crash-idempotence contract."""
+    import shutil
+    import tempfile
+
+    from .stages.incremental import ingest_near_dup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda b, _p=parity: b.filter(pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % 2 == _p)),
+            batch_format="pyarrow")
+
+    store = tempfile.mkdtemp(prefix="graft_ndstore_", dir="/tmp")
+    try:
+        fa = ingest_near_dup(half(0), store, threshold=0.8)
+        a_n = fa.count()
+        a_dup = sum(
+            int(pc.sum(pc.cast(b["dup_of_prior"], pa.int64()))
+                .as_py() or 0)
+            for b in fa.iter_batches(batch_format="pyarrow"))
+        fb = ingest_near_dup(half(1), store, threshold=0.8)
+        b_n = fb.count()
+        b_dup = sum(
+            int(pc.sum(pc.cast(b["dup_of_prior"], pa.int64()))
+                .as_py() or 0)
+            for b in fb.iter_batches(batch_format="pyarrow"))
+        fb2 = ingest_near_dup(half(1), store, threshold=0.8)
+        b2_dup = sum(
+            int(pc.sum(pc.cast(b["dup_of_prior"], pa.int64()))
+                .as_py() or 0)
+            for b in fb2.iter_batches(batch_format="pyarrow"))
+        return pa.table({
+            "n_round_a": pa.array([a_n], pa.int64()),
+            "a_dup": pa.array([a_dup], pa.int64()),
+            "n_round_b": pa.array([b_n], pa.int64()),
+            "b_dup": pa.array([b_dup], pa.int64()),
+            "reingest_all_dup": pa.array([b2_dup == b_n], pa.bool_()),
+        })
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Capstone composition: curation v2 — the round-4 operators chained
 # into one end-to-end corpus curation pipeline, oracle-checked as a
 # whole (normalize-dedup winners ∧ blocklist gate ∧ model quality ∧
@@ -6776,7 +6867,7 @@ _GATE_FIRST = [
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
-    "curation_v2_pipeline",
+    "curation_v2_pipeline", "incremental_neardup",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

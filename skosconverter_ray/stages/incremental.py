@@ -34,6 +34,7 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 def _hash_batch(batch: pa.Table, text_col: str) -> np.ndarray:
@@ -140,3 +141,220 @@ def ingest_round(docs_ds, store_dir: str, *, text_col: str = "text"):
     new = filter_new(docs_ds, store_dir, text_col=text_col).materialize()
     append_fingerprints(new, store_dir)
     return new.drop_columns(["_h"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-run NEAR-dup ingest (the approximate sibling of the exact
+# fingerprint store above): each round stores its LSH band index and
+# compact shingle sets; the next round flags incoming docs whose
+# exact word-3-gram jaccard vs ANY stored doc reaches the threshold.
+# ---------------------------------------------------------------------------
+
+_ND_META = b"skos_nd_algo"
+
+
+def _nd_algo() -> str:
+    """Identity of the near-dup signature scheme: the string-hash
+    implementation (polars-version-pinned, like the exact store) plus
+    the MinHash/LSH parameters — stored shards under ANY other scheme
+    are incomparable and must be refused."""
+    from ..functions.hashing import content_hash_algo
+
+    return f"{content_hash_algo()}-oph128-b32r4-w3gram"
+
+
+class NearDupStoreAlgoMismatch(RuntimeError):
+    pass
+
+
+def _nd_check(path: str) -> None:
+    meta = pq.read_schema(path).metadata or {}
+    got = meta.get(_ND_META, b"<unstamped>").decode()
+    if got != _nd_algo():
+        raise NearDupStoreAlgoMismatch(
+            f"near-dup shard {path} written under '{got}' but this "
+            f"runtime computes '{_nd_algo()}' — rebuild the store")
+
+
+def _nd_shards(store_dir: str, kind: str) -> list[str]:
+    d = os.path.join(store_dir, kind)
+    if not os.path.isdir(d):
+        return []
+    out = [os.path.join(d, f) for f in sorted(os.listdir(d))
+           if f.endswith(".parquet")]
+    for p in out:
+        _nd_check(p)
+    return out
+
+
+def _nd_write(tbl: pa.Table, store_dir: str, kind: str) -> str:
+    d = os.path.join(store_dir, kind)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"shard-{uuid.uuid4().hex}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(
+        tbl.replace_schema_metadata({_ND_META: _nd_algo().encode()}), tmp)
+    os.rename(tmp, path)
+    return path
+
+
+def ingest_near_dup(docs_ds, store_dir: str, *, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.8,
+                    num_buckets: int = 16):
+    """One near-dup ingest round -> (doc_id, dup_of_prior) Dataset.
+
+    A doc is ``dup_of_prior`` when its EXACT word-3-gram jaccard vs
+    any PREVIOUSLY stored doc reaches ``threshold`` (LSH banding only
+    proposes candidates; every flag is exact-verified — same
+    precision contract as the in-run pipeline). Novel docs' band
+    index rows and compact shingle blobs append as new shards.
+
+    Scale shape: the stored index is corpus-sized, so candidates come
+    from ONE bucket-cogroup join (band,key) new-vs-stored — never a
+    broadcast of the store; verification broadcasts the shingle blobs
+    only under the same size gate as stages/dedup (above it the
+    two-exchange task cogroup of the in-run pipeline applies
+    unchanged). Crash contract (mirrors the exact store): shingles
+    write BEFORE index, so a crash can only leave docs unmatchable →
+    they re-ingest as novel (conservative duplicate shards, never a
+    false dedup); re-running a completed round flags every doc as
+    dup-of-prior and appends empty shards — idempotent."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import (MinHashStage, _MINHASH_BROADCAST_MAX,
+                        exact_jaccard_batch, shingles_batch)
+    from .joinutil import cogroup_join
+    from .skew import bucket_aggregate
+
+    new_index = docs_ds.map_batches(
+        MinHashStage(text_col, id_col), batch_format="pyarrow",
+        batch_size=512).materialize()
+    new_sh = docs_ds.map_batches(
+        lambda b: shingles_batch(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=512).materialize()
+
+    idx_schema = pa.schema([("doc_id", pa.int64()), ("band", pa.int32()),
+                            ("key", pa.int64())])
+    idx_paths = _nd_shards(store_dir, "index")
+    sh_paths = _nd_shards(store_dir, "shingles")
+
+    doc_ids = docs_ds.select_columns([id_col])
+    flag_schema = pa.schema([("doc_id", pa.int64()),
+                             ("dup_of_prior", pa.bool_())])
+
+    dup_ids = None
+    if idx_paths:
+        stored = rd.read_parquet(idx_paths).map_batches(
+            lambda b: pa.table({"s_doc": b["doc_id"], "s_band": b["band"],
+                                "key": b["key"]}),
+            batch_format="pyarrow")
+        cand = cogroup_join(
+            new_index, stored, left_on="key", right_on="key",
+            num_buckets=num_buckets, left_schema=idx_schema,
+            right_schema=pa.schema([("s_doc", pa.int64()),
+                                    ("s_band", pa.int32()),
+                                    ("key", pa.int64())]))
+
+        def band_match(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["band"], pc.cast(batch["s_band"],
+                                                   pa.int32()))
+            t = batch.filter(keep)
+            return pa.table({"doc_a": t["doc_id"], "doc_b": t["s_doc"]})
+
+        pairs = bucket_aggregate(
+            cand.map_batches(band_match, batch_format="pyarrow"),
+            ["doc_a", "doc_b"], [("count", None, "_n")],
+            num_buckets=num_buckets,
+            bucket_key="doc_a").drop_columns(["_n"]).materialize()
+
+        if pairs.count():
+            # verify with exact jaccard; blob table = new shingles +
+            # stored shingles (size-gated broadcast, as in dedup.py)
+            old_sh = pq.read_table(sh_paths) if sh_paths else \
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "shingles": pa.array([], pa.binary())})
+            blob: dict = dict(zip(old_sh["doc_id"].to_pylist(),
+                                  old_sh["shingles"].to_pylist()))
+            n_blob = len(blob) + new_sh.count()
+            if n_blob > _MINHASH_BROADCAST_MAX:
+                raise NotImplementedError(
+                    "near-dup store verify above the broadcast gate: "
+                    "use the two-exchange task cogroup of "
+                    "stages/dedup.minhash_near_dup_pairs (same shape; "
+                    "wire-up deliberately deferred until a corpus "
+                    "needs it)")
+            for b in new_sh.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536):
+                blob.update(zip(b["doc_id"].to_pylist(),
+                                b["shingles"].to_pylist()))
+            ref = ray.put(blob)
+
+            def verify(batch: pa.Table, _ref=ref,
+                       _t=threshold) -> pa.Table:
+                table = ray.get(_ref)
+                joined = pa.table({
+                    "doc_a": batch["doc_a"],
+                    "doc_b": batch["doc_b"],
+                    "shingles_a": pa.array(
+                        [table.get(d) for d in
+                         batch["doc_a"].to_pylist()], pa.binary()),
+                    "shingles_b": pa.array(
+                        [table.get(d) for d in
+                         batch["doc_b"].to_pylist()], pa.binary()),
+                })
+                out = exact_jaccard_batch(joined, threshold=_t)
+                return pa.table({"dup_doc": out["doc_a"]})
+
+            dup_ids = bucket_aggregate(
+                pairs.map_batches(verify, batch_format="pyarrow"),
+                ["dup_doc"], [("count", None, "_n")],
+                num_buckets=num_buckets).drop_columns(["_n"])
+
+    if dup_ids is None:
+        flags = doc_ids.map_batches(
+            lambda b: pa.table({"doc_id": b[id_col],
+                                "dup_of_prior": pa.array(
+                                    np.zeros(b.num_rows, bool))}),
+            batch_format="pyarrow").materialize()
+    else:
+        joined = cogroup_join(
+            doc_ids, dup_ids, left_on=id_col, right_on="dup_doc",
+            join_type="left outer", num_buckets=num_buckets,
+            left_schema=pa.schema([(id_col, pa.int64())]),
+            right_schema=pa.schema([("dup_doc", pa.int64())]))
+        flags = joined.map_batches(
+            lambda b: pa.table({
+                "doc_id": b[id_col],
+                "dup_of_prior": pc.is_valid(b["dup_doc"])}),
+            batch_format="pyarrow").materialize()
+
+    # append NOVEL docs' shingles first, index last (crash contract)
+    novel = cogroup_join(
+        new_sh, flags.map_batches(
+            lambda b: pa.table({"f_doc": b["doc_id"]}).filter(
+                pc.invert(b["dup_of_prior"])),
+            batch_format="pyarrow"),
+        left_on="doc_id", right_on="f_doc", join_type="left semi",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("shingles", pa.binary())]),
+        right_schema=pa.schema([("f_doc", pa.int64())])).materialize()
+    novel_ids = pa.array(
+        sorted(r["doc_id"] for b in novel.select_columns(["doc_id"])
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()), pa.int64())
+    sh_parts = list(novel.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    _nd_write(pa.concat_tables(sh_parts) if sh_parts
+              else pa.schema([("doc_id", pa.int64()),
+                              ("shingles", pa.binary())]).empty_table(),
+              store_dir, "shingles")
+    idx_parts = []
+    for b in new_index.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+        keep = pc.is_in(b["doc_id"], value_set=novel_ids)
+        idx_parts.append(b.filter(keep))
+    _nd_write(pa.concat_tables(idx_parts) if idx_parts
+              else idx_schema.empty_table(), store_dir, "index")
+    return flags

@@ -64,3 +64,73 @@ def test_store_algo_mismatch_refused(tmp_path):
     pq.write_table(t, str(tmp_path / "shard-old.parquet"))
     with pytest.raises(StoreAlgoMismatch, match="unstamped"):
         load_store(str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Cross-run NEAR-dup ingest
+# ---------------------------------------------------------------------------
+
+_ND_A = [
+    (0, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+    (2, "one two three four five six seven eight nine ten"),
+    (4, "totally distinct words here nothing shared at all okay"),
+]
+_ND_B = [
+    # near-dup of doc 0 (one word appended -> jaccard ~0.78? compute:
+    # identical text = jaccard 1.0 -> definitely flagged)
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+    # novel
+    (3, "completely new content with fresh vocabulary only here"),
+]
+
+
+def _nd_docs(rows):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(2)
+
+
+def test_near_dup_ingest_two_rounds(ray_session, tmp_path):
+    from skosconverter_ray.stages.incremental import ingest_near_dup
+
+    store = str(tmp_path / "nd")
+    fa = {r["doc_id"]: r["dup_of_prior"]
+          for b in ingest_near_dup(_nd_docs(_ND_A), store)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fa == {0: False, 2: False, 4: False}
+
+    fb = {r["doc_id"]: r["dup_of_prior"]
+          for b in ingest_near_dup(_nd_docs(_ND_B), store)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fb == {1: True, 3: False}
+
+    # idempotence: replaying round B flags everything (3 now matches
+    # its own stored copy)
+    fb2 = {r["doc_id"]: r["dup_of_prior"]
+           for b in ingest_near_dup(_nd_docs(_ND_B), store)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fb2 == {1: True, 3: True}
+
+
+def test_near_dup_store_refuses_algo_mismatch(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from skosconverter_ray.stages.incremental import (
+        NearDupStoreAlgoMismatch, ingest_near_dup)
+
+    store = tmp_path / "nd"
+    (store / "index").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "band": pa.array([0], pa.int32()),
+                  "key": pa.array([7], pa.int64())})
+        .replace_schema_metadata({b"skos_nd_algo": b"other-algo"}),
+        store / "index" / "shard-x.parquet")
+    with _pt.raises(NearDupStoreAlgoMismatch):
+        ingest_near_dup(_nd_docs(_ND_A), str(store))
