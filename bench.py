@@ -86,6 +86,7 @@ HEADLINE = [
     "events_value_winsorized",
     "curation_v2_pipeline",
     "incremental_neardup",
+    "doc_dedup_containment",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -6622,6 +6622,52 @@ def events_transition_matrix(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Documents: containment join (asymmetric dedup — a short doc embedded
+# in a longer one, which symmetric jaccard misses)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_dedup_containment",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w)-2)]) AS s
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(a.s), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+          >= 0.9
+    """,
+)
+def doc_dedup_containment(sf_dir: str):
+    """Asymmetric containment dedup: pairs where >= 90% of doc_a's
+    word-3-grams also appear in doc_b — the quote/repost/subset shape
+    that symmetric jaccard misses when the host doc is much longer.
+    Engine path is the PREFIX-FILTERED set-similarity join
+    (stages/dedup.containment_pairs — SSJoin/all-pairs, candidates
+    only where one of A's floor((1-c)|A|)+1 smallest shingles
+    collides, then exact verification); oracle is the brute all-pairs
+    containment in DuckDB."""
+    from .stages.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = containment_pairs(ds, threshold=0.9,
+                            num_buckets=_adaptive_buckets(
+                                sf_dir, "documents"))
+    return _collect(out, pa.schema([("doc_a", pa.int64()),
+                                    ("doc_b", pa.int64()),
+                                    ("containment", pa.float64())]))
+
+
+# ---------------------------------------------------------------------------
 # Cross-run NEAR-dup ingest (approximate sibling of incremental_ingest:
 # round B drops documents near-duplicating ANY earlier round's docs)
 # ---------------------------------------------------------------------------
@@ -6867,7 +6913,7 @@ _GATE_FIRST = [
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
-    "curation_v2_pipeline", "incremental_neardup",
+    "curation_v2_pipeline", "incremental_neardup", "doc_dedup_containment",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

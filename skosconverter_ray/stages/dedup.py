@@ -781,3 +781,140 @@ def edit_distance1_pairs(terms_ds, *, col: str = "term",
                                num_buckets=max(8, num_buckets // 2),
                                bucket_key="term_a")
     return deduped.select_columns(["term_a", "term_b"])
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric set-similarity: |A∩B| / |A| >= c) via
+# PREFIX FILTERING — Chaudhuri/Ganti/Kaushik 2006 (SSJoin) and
+# Bayardo/Ma/Srikant 2007 (all-pairs), both public algorithms. Jaccard
+# misses a short doc embedded in a long one (the quote/repost shape);
+# containment is the right asymmetric measure.
+# ---------------------------------------------------------------------------
+
+def containment_pairs(docs_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.9,
+                      num_buckets: int = 32):
+    """-> (doc_a, doc_b, containment) rows with EXACT word-3-gram
+    containment(A in B) = |A∩B|/|A| >= threshold, doc_a != doc_b.
+
+    Prefix filter: under any global token order (here: the shingle
+    hash value), a pair at containment >= c must share one of A's
+    floor((1-c)*|A|)+1 SMALLEST shingles — if all of those fall
+    outside B then |A\\B| already exceeds (1-c)|A|. So each doc emits
+    every shingle once, tagged is_prefix for its smallest ones; one
+    shingle-bucket cogroup generates candidates as (prefix rows x all
+    rows) per exact shingle; exact containment verifies every pair.
+    At 100 TB add the standard refinements (index only prefixes under
+    a length filter, df-cap hub shingles into a verify-all sidecar);
+    the filter's correctness does not depend on them."""
+    import ray
+
+    from ..functions.hashing import mix64
+    from .shardutil import scatter_apply_by_value
+    from .skew import bucket_aggregate
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sets = shingle_sets_batch(batch[text_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        shs, docs, pref = [], [], []
+        for i, s in enumerate(sets):
+            if s.size == 0:
+                continue
+            p = int((1.0 - threshold) * s.size) + 1
+            shs.append(s)                       # np.unique -> sorted
+            docs.append(np.full(s.size, ids[i], np.int64))
+            m = np.zeros(s.size, bool)
+            m[:p] = True
+            pref.append(m)
+        if not shs:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "pref": pa.array([], pa.bool_()),
+                             "_bucket": pa.array([], pa.int64())})
+        sh = np.concatenate(shs).astype(np.uint64)
+        b = ((mix64(sh) >> np.uint64(32)).astype(np.int64)
+             % num_buckets)
+        return pa.table({
+            "sh": pa.array(sh.astype(np.int64)),
+            "doc": pa.array(np.concatenate(docs)),
+            "pref": pa.array(np.concatenate(pref)),
+            "_bucket": pa.array(b, pa.int64()),
+        })
+
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64())])
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        pref = t["pref"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, pref = sh[order], doc[order], pref[order]
+        _u, starts = np.unique(sh, return_index=True)
+        lens = np.diff(np.append(starts, len(sh)))
+        a_parts, b_parts = [], []
+        # per exact shingle: candidates = prefix holders x all holders
+        # (python loop over multi-holder shingles only — their count
+        # is bounded by the duplicated mass, not the corpus)
+        for s0, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            d = doc[s0:s0 + ln]
+            pm = pref[s0:s0 + ln]
+            if not pm.any():
+                continue
+            probes = d[pm]
+            a = np.repeat(probes, ln)
+            b = np.tile(d, probes.size)
+            ne = a != b
+            a_parts.append(a[ne])
+            b_parts.append(b[ne])
+        if not a_parts:
+            return pair_schema.empty_table()
+        return pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
+                         "doc_b": pa.array(np.concatenate(b_parts))})
+
+    rows = docs_ds.map_batches(emit, batch_format="pyarrow")
+    cand = scatter_apply_by_value(rows.materialize(), "_bucket",
+                                  num_buckets, gen_pairs,
+                                  empty_result=pair_schema.empty_table())
+    pairs = bucket_aggregate(cand, ["doc_a", "doc_b"],
+                             [("count", None, "_n")],
+                             num_buckets=num_buckets,
+                             bucket_key="doc_a").drop_columns(["_n"])
+
+    sh_tbl = docs_ds.map_batches(
+        lambda b: shingles_batch(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=512).materialize()
+    if sh_tbl.count() > _MINHASH_BROADCAST_MAX:
+        raise NotImplementedError(
+            "containment verify above the broadcast gate: reuse the "
+            "two-exchange task cogroup of minhash_near_dup_pairs")
+    blob: dict = {}
+    for b in sh_tbl.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536):
+        blob.update(zip(b["doc_id"].to_pylist(),
+                        b["shingles"].to_pylist()))
+    ref = ray.put(blob)
+
+    def verify(batch: pa.Table, _ref=ref, _c=threshold) -> pa.Table:
+        table = ray.get(_ref)
+        a_ids = batch["doc_a"].to_pylist()
+        b_ids = batch["doc_b"].to_pylist()
+        cont = np.empty(len(a_ids), np.float64)
+        for i, (da, db) in enumerate(zip(a_ids, b_ids)):
+            sa = np.frombuffer(table.get(da) or b"", dtype="<u8")
+            sb = np.frombuffer(table.get(db) or b"", dtype="<u8")
+            if sa.size == 0:
+                cont[i] = 0.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            cont[i] = inter / sa.size
+        keep = cont >= _c - 1e-12
+        return pa.table({
+            "doc_a": batch["doc_a"].filter(pa.array(keep)),
+            "doc_b": batch["doc_b"].filter(pa.array(keep)),
+            "containment": pa.array(np.round(cont[keep], 6)),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -553,3 +553,65 @@ def test_minhash_distributed_verify_parity(ray_session, monkeypatch):
             .take_all()}
     assert broad == dist
     assert len(broad) > 0
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.dedup import (containment_pairs,
+                                                minhash_near_dup_pairs)
+
+    short = "alpha bravo charlie delta echo foxtrot golf"
+    host = (short + " " + " ".join(f"filler{i}a filler{i}b filler{i}c"
+                                   for i in range(30)))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([short, host,
+                          "unrelated text with other words entirely "
+                          "nothing shared here at all"], pa.string()),
+    })).repartition(2)
+
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.9).take_all()}
+    # the short doc is fully contained in the host (containment 1.0
+    # in the a->b direction only: the host is NOT contained in short)
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got and (1, 3) not in got
+
+    # and symmetric jaccard does NOT flag the pair (the host dilutes
+    # the union) — the reason containment exists
+    jac = minhash_near_dup_pairs(docs, threshold=0.8).take_all()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_containment_prefix_filter_exactness(ray_session):
+    """Randomized: prefix-filtered result == brute-force containment."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.dedup import (containment_pairs,
+                                                shingle_set)
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(6, 30)))
+             for _ in range(40)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           containment_pairs(docs, threshold=0.7).take_all()}
+    sets = [shingle_set(t) for t in texts]
+    want = set()
+    for a in range(40):
+        for b in range(40):
+            if a == b or sets[a].size == 0:
+                continue
+            inter = np.intersect1d(sets[a], sets[b],
+                                   assume_unique=True).size
+            if inter / sets[a].size >= 0.7 - 1e-12:
+                want.add((a, b))
+    assert got == want
