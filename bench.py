@@ -87,6 +87,7 @@ HEADLINE = [
     "curation_v2_pipeline",
     "incremental_neardup",
     "doc_dedup_containment",
+    "graph_kcore",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline
@@ -145,6 +146,7 @@ def run_headline() -> None:
         _communities_actor_labels,
         _flagship_graph_outputs,
         _hits_actor_scores,
+        _kcore_actor_members,
         _pagerank_actor_ranks,
         _ppr_actor_ranks,
         _tree_order_distributed_rows,
@@ -158,6 +160,7 @@ def run_headline() -> None:
         "ann_topk_pq": _ann_pq_neighbors,
         "graph_ppr": _ppr_actor_ranks,
         "graph_hits": _hits_actor_scores,
+        "graph_kcore": _kcore_actor_members,
     }
 
     per_query: dict[str, float] = {}

@@ -6621,6 +6621,92 @@ def events_transition_matrix(sf_dir: str):
     return _collect(out, pair_schema)
 
 
+@_q(
+    "graph_kcore",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    e AS (SELECT a.s AS x, b.s AS y
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= 30)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           CAST(3 AS BIGINT) AS k,
+           true AS engines_match,
+           true AS seq_parity,
+           true AS core_is_subset
+    """,
+)
+def graph_kcore(sf_dir: str):
+    """k-core membership (Seidman 1983) over the mw=30 strong co-part
+    graph at k=3 — the deletion-Pregel shape (state only shrinks,
+    messages are degree decrements from dying nodes; at sf0.1 the
+    peel cascades for 5 rounds and keeps 547 of 926 suppliers).
+    Oracle row: n_edges SQL-live; engines_match pins the shard-actor
+    deletion engine to the driver peel node-for-node; seq_parity pins
+    the driver peel to an independent plain-Python oracle (the
+    supplier graph is dimension-bounded — suppliers², never corpus);
+    core_is_subset pins every core member to be a graph node."""
+    from .stages.graph import kcore
+
+    k = 3
+    edges = _copart_supplier_pairs(sf_dir, min_weight=30).materialize()
+    drv = {r["node"]: r["in_core"]
+           for b in kcore(edges, k=k).iter_batches(
+               batch_format="pyarrow")
+           for r in b.to_pylist()}
+    act = {r["node"]: r["in_core"]
+           for b in kcore(edges, k=k, max_driver_edges=0,
+                          engine="actors", num_shards=4)
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+
+    # independent sequential oracle (dimension-sized graph)
+    from collections import defaultdict
+
+    deg: dict = defaultdict(int)
+    nbrs: dict = defaultdict(list)
+    for b in edges.iter_batches(batch_format="pyarrow",
+                                batch_size=65536):
+        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            if a == bb:
+                continue
+            deg[str(a)] += 1
+            deg[str(bb)] += 1
+            nbrs[str(a)].append(str(bb))
+            nbrs[str(bb)].append(str(a))
+    alive = set(deg)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(alive):
+            if deg[u] < k:
+                alive.discard(u)
+                for v in nbrs[u]:
+                    deg[v] -= 1
+                nbrs[u] = []
+                changed = True
+    seq = {u: (u in alive) for u in deg}
+
+    n_edges = edges.count()
+    core = {u for u, v in drv.items() if v}
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "engines_match": pa.array([act == drv], pa.bool_()),
+        "seq_parity": pa.array([drv == seq], pa.bool_()),
+        "core_is_subset": pa.array([core <= set(drv)], pa.bool_()),
+    })
+
+
+def _kcore_actor_members(sf_dir: str):
+    """Shard-actor k-core over the strong graph (bench entry: the
+    deletion engine alone, no parity replays)."""
+    from .stages.graph import kcore
+
+    return kcore(_copart_supplier_pairs(sf_dir, min_weight=30),
+                 k=3, max_driver_edges=0, engine="actors", num_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Documents: containment join (asymmetric dedup — a short doc embedded
 # in a longer one, which symmetric jaccard misses)
@@ -6913,7 +6999,7 @@ _GATE_FIRST = [
     "doc_dsir_selection", "doc_span_dedup", "orders_upsert_merge",
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
-    "curation_v2_pipeline", "incremental_neardup", "doc_dedup_containment",
+    "curation_v2_pipeline", "incremental_neardup", "doc_dedup_containment", "graph_kcore",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",

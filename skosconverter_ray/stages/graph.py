@@ -918,3 +918,188 @@ def hits(edges_ds, *, n_iter: int = 20, src_col: str = "src",
         return _hits_driver(norm, n_iter=n_iter)
     return _hits_actors(norm, n_iter=n_iter,
                         num_shards=max(2, min(num_shards, 8)))
+
+
+# ---------------------------------------------------------------------------
+# k-core membership (Seidman 1983; peeling/deletion iteration — a
+# different Pregel shape from rank/label propagation: state only ever
+# SHRINKS, messages are degree decrements from dying nodes)
+# ---------------------------------------------------------------------------
+
+def _kcore_driver(src: np.ndarray, dst: np.ndarray, k: int):
+    """Vectorized peel over int64 endpoint arrays (both directions
+    present). Returns (nodes, in_core bool)."""
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    m = len(src)
+    s_i, d_i = inv[:m], inv[m:]
+    n = len(nodes)
+    deg = np.bincount(s_i, minlength=n)
+    alive = np.ones(n, bool)
+    # CSR over outgoing (== all incident, both directions present)
+    order = np.argsort(s_i, kind="stable")
+    s_s, d_s = s_i[order], d_i[order]
+    starts = np.searchsorted(s_s, np.arange(n))
+    ends = np.searchsorted(s_s, np.arange(n), side="right")
+    while True:
+        dying = np.flatnonzero(alive & (deg < k))
+        if dying.size == 0:
+            break
+        alive[dying] = False
+        # each dying node decrements every neighbor once
+        nbr_parts = [d_s[starts[u]:ends[u]] for u in dying]
+        if nbr_parts:
+            nbrs = np.concatenate(nbr_parts)
+            dec = np.bincount(nbrs, minlength=n)
+            deg = deg - dec
+    return nodes, alive
+
+
+class _KCoreShard:
+    """Deletion-Pregel shard: owns alive/degree state for nodes
+    hashing to its bucket plus ALL incident edges (the undirected
+    graph ships both directions, sharded by source — so a node's full
+    adjacency is local). A round: locally find nodes dying (alive,
+    degree < k), emit per-peer decrement counts for their neighbors,
+    apply incoming decrements. State only shrinks, so the fixpoint
+    (no shard reports deaths) is reached in at most n rounds and
+    usually a handful."""
+
+    def __init__(self, bucket: int, n_buckets: int, k: int):
+        self.b, self.B, self.k = bucket, n_buckets, k
+
+    def load(self, edge_refs) -> int:
+        import ray
+
+        from ..functions.hashing import bucket_of
+
+        tbls = [t for t in ray.get(list(edge_refs)) if t.num_rows]
+        edges = (pa.concat_tables(tbls) if tbls
+                 else pa.table({"src": pa.array([], pa.string()),
+                                "dst": pa.array([], pa.string())}))
+        src = edges["src"].combine_chunks()
+        self.nodes = pa.array(
+            np.unique(src.to_numpy(zero_copy_only=False)), pa.string())
+        n = len(self.nodes)
+        si = pc.index_in(src, value_set=self.nodes) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            if edges.num_rows else np.empty(0, np.int64)
+        dst = edges["dst"].combine_chunks()
+        dst_np = np.asarray(dst.to_pylist(), dtype=object)
+        order = np.argsort(si, kind="stable")
+        self.s_s, self.d_s = si[order], dst_np[order]
+        self.starts = np.searchsorted(self.s_s, np.arange(n))
+        self.ends = np.searchsorted(self.s_s, np.arange(n),
+                                    side="right")
+        self.deg = np.bincount(si, minlength=n) if n else \
+            np.zeros(0, np.int64)
+        self.alive = np.ones(n, bool)
+        self.dbk = (bucket_of(pa.array(self.d_s.tolist(), pa.string()),
+                              self.B).to_numpy(zero_copy_only=False)
+                    if len(self.d_s) else np.empty(0, np.int32))
+        return n
+
+    def step_emit(self):
+        """-> (n_dying, per-peer decrement-table refs)."""
+        import ray
+
+        dying = np.flatnonzero(self.alive & (self.deg < self.k))
+        refs = [None] * self.B
+        if dying.size:
+            self.alive[dying] = False
+            parts = [slice(self.starts[u], self.ends[u]) for u in dying]
+            nbrs = np.concatenate([self.d_s[p] for p in parts]) \
+                if parts else np.empty(0, object)
+            bks = np.concatenate([self.dbk[p] for p in parts]) \
+                if parts else np.empty(0, np.int32)
+            for t in range(self.B):
+                sel = nbrs[bks == t]
+                if sel.size == 0:
+                    continue
+                uniq, cnt = np.unique(sel, return_counts=True)
+                refs[t] = ray.put(pa.table({
+                    "node": pa.array(uniq.tolist(), pa.string()),
+                    "dec": pa.array(cnt, pa.int64())}))
+        return int(dying.size), refs
+
+    def apply(self, msg_refs) -> None:
+        import ray
+
+        for tbl in ray.get(list(msg_refs)):
+            idx = pc.index_in(tbl["node"].combine_chunks(),
+                              value_set=self.nodes)
+            ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            np.subtract.at(self.deg, ix,
+                           tbl["dec"].to_numpy(zero_copy_only=False))
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": self.nodes,
+                         "in_core": pa.array(self.alive)})
+
+
+def _kcore_actors(norm, *, k: int, num_shards: int):
+    import ray
+    import ray.data as rd
+
+    from .shardutil import split_dataset_by_bucket
+
+    B = num_shards
+    cols = split_dataset_by_bucket(norm, "src", B)
+    Shard = ray.remote(num_cpus=0)(_KCoreShard)
+    shards = [Shard.remote(b, B, k) for b in range(B)]
+    try:
+        ray.get([s.load.remote(cols[b]) for b, s in enumerate(shards)])
+        while True:
+            outs = ray.get([s.step_emit.remote() for s in shards])
+            died = sum(o[0] for o in outs)
+            if died == 0:
+                break
+            inbox = [[outs[b][1][t] for b in range(B)
+                      if outs[b][1][t] is not None] for t in range(B)]
+            ray.get([s.apply.remote(inbox[t])
+                     for t, s in enumerate(shards)])
+        out = rd.from_arrow_refs(
+            [s.result.remote() for s in shards]).materialize()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return out
+
+
+def kcore(edges_ds, *, k: int, a_col: str = "a", b_col: str = "b",
+          max_driver_edges: int = 4_000_000, num_shards: int = 8,
+          engine: str = "auto"):
+    """Undirected (a, b) edge rows -> (node, in_core) Dataset: the
+    maximal subgraph where every member keeps >= k neighbors after
+    iterative peeling. Self-loops dropped; duplicate edge rows COUNT
+    toward degree on both engines (normalize upstream if multi-edges
+    should collapse)."""
+    import ray.data as rd
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[a_col], pa.string()).combine_chunks()
+        b = pc.cast(batch[b_col], pa.string()).combine_chunks()
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    norm = (edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+            .materialize())
+    n_edges = norm.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "in_core": pa.array([], pa.bool_())}))
+    if n_edges <= max_driver_edges and engine == "auto":
+        srcs, dsts = [], []
+        for b in norm.iter_batches(batch_format="pyarrow",
+                                   batch_size=262144):
+            srcs.append(np.asarray(b["src"].to_pylist(), dtype=object))
+            dsts.append(np.asarray(b["dst"].to_pylist(), dtype=object))
+        nodes, alive = _kcore_driver(np.concatenate(srcs),
+                                     np.concatenate(dsts), k)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "in_core": pa.array(alive)}))
+    return _kcore_actors(norm, k=k,
+                         num_shards=max(2, min(num_shards, 8)))

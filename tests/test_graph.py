@@ -193,3 +193,69 @@ def test_hits_multi_edge_weighting(ray_session):
     ds = rd.from_items([{"src": s, "dst": t} for s, t in edges])
     got = {r["node"]: r["auth"] for r in hits(ds, n_iter=4).take_all()}
     assert got["y"] > got["x"] > 0
+
+
+def _kcore_oracle(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add((a, b))
+            adj[b].add((a, b))
+    # multiset degree: count edge rows, both directions
+    deg = defaultdict(int)
+    for a, b in edges:
+        if a != b:
+            deg[a] += 1
+            deg[b] += 1
+    alive = set(deg)
+    changed = True
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+    while changed:
+        changed = False
+        for u in list(alive):
+            if deg[u] < k:
+                alive.discard(u)
+                for v in nbrs[u]:
+                    deg[v] -= 1
+                nbrs[u] = []
+                changed = True
+    return {u: (u in alive) for u in deg}
+
+
+@pytest.mark.parametrize("forced", [False, True])
+def test_kcore_peeling_cascade(ray_session, forced):
+    from skosconverter_ray.stages.graph import kcore
+
+    # a 4-clique (3-core) with a pendant chain hanging off it: the
+    # chain peels in CASCADE order, the clique survives k=3
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"),
+             ("d", "e"), ("e", "f"), ("f", "g")]
+    ds = rd.from_items([{"a": x, "b": y} for x, y in edges])
+    kw = {"max_driver_edges": 0, "engine": "actors"} if forced else {}
+    got = {r["node"]: r["in_core"]
+           for r in kcore(ds, k=3, num_shards=4, **kw).take_all()}
+    want = _kcore_oracle(edges, 3)
+    assert got == want
+    assert {u for u, v in got.items() if v} == {"a", "b", "c", "d"}
+
+
+@pytest.mark.parametrize("forced", [False, True])
+def test_kcore_random_parity(ray_session, forced):
+    from skosconverter_ray.stages.graph import kcore
+
+    rng = np.random.RandomState(9)
+    edges = [(f"n{rng.randint(60)}", f"n{rng.randint(60)}")
+             for _ in range(300)]
+    ds = rd.from_items([{"a": x, "b": y} for x, y in edges])
+    kw = {"max_driver_edges": 0, "engine": "actors"} if forced else {}
+    for k in (2, 4, 7):
+        got = {r["node"]: r["in_core"]
+               for r in kcore(ds, k=k, num_shards=4, **kw).take_all()}
+        assert got == _kcore_oracle(edges, k), k
