@@ -88,6 +88,7 @@ HEADLINE = [
     "incremental_neardup",
     "doc_dedup_containment",
     "graph_kcore",
+    "doc_budget_selection",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

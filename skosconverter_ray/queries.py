@@ -6621,6 +6621,94 @@ def events_transition_matrix(sf_dir: str):
     return _collect(out, pair_schema)
 
 
+# ---------------------------------------------------------------------------
+# Documents: budget-capped selection — take the most target-like docs
+# (DSIR order) until a token budget is exhausted: global sort + a
+# distributed running-sum cut
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_budget_selection",
+    """
+    WITH ds AS ({dsr}),
+    tot AS (SELECT sum(n_tokens) AS t FROM ds),
+    r AS (
+      SELECT doc_id, n_tokens, dsir_bits,
+             CAST(sum(n_tokens) OVER (ORDER BY dsir_bits DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM ds
+    )
+    SELECT doc_id, n_tokens, dsir_bits, cum_tokens
+    FROM r WHERE cum_tokens <= (SELECT t // 10 FROM tot)
+    """,
+)
+def doc_budget_selection(sf_dir: str):
+    """Token-budget curation cut: rank every document by DSIR target
+    affinity (dsir_bits DESC, doc_id for determinism) and keep the
+    prefix whose cumulative token count fits 10% of the corpus — the
+    'best N tokens' selection step of a data-constrained training run
+    (and the greedy knapsack relaxation when value is additive).
+    Shape: the per-doc DSIR Dataset globally SORTS on the score (the
+    one operation here that must be a real distributed sort), then the
+    running total is the two-phase scan in SORTED-BLOCK order:
+    per-block sums fold on the driver (num_blocks scalars), an
+    exclusive scan of those gives each block's base, and one pass
+    emits local cumsum + base and cuts at the budget — every row moves
+    once after the sort, and the budget scalar comes from the same
+    fold (no extra pass)."""
+    dsr = _dsir_ds(sf_dir).select_columns(
+        ["doc_id", "n_tokens", "dsir_bits"])
+    s = dsr.sort(["dsir_bits", "doc_id"],
+                 descending=[True, False]).materialize()
+
+    # per-block token sums in sorted order -> driver exclusive scan
+    # (one remote scalar per block — the blocks themselves never
+    # transit the driver)
+    import ray
+
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def blk_sum(t: pa.Table) -> int:
+        return int(pc.sum(t["n_tokens"]).as_py() or 0) \
+            if t.num_rows else 0
+
+    sums = np.array(ray.get([blk_sum.remote(r) for r in refs]),
+                    np.int64)
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    budget = int(sums.sum()) // 10
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("dsir_bits", pa.int64()),
+                            ("cum_tokens", pa.int64())])
+
+    @ray.remote
+    def cut(tbl: pa.Table, base: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        nt = tbl["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = base + np.cumsum(nt)
+        keep = cum <= budget
+        t = tbl.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "dsir_bits": t["dsir_bits"],
+            "cum_tokens": pa.array(cum[keep], pa.int64()),
+        }).cast(out_schema)
+
+    import ray.data as rd
+
+    parts = [cut.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return _collect(rd.from_arrow_refs(parts).materialize(), out_schema)
+
+
+ORACLE_SQL["doc_budget_selection"] = \
+    ORACLE_SQL["doc_budget_selection"].format(
+        dsr=ORACLE_SQL["doc_dsir_selection"])
+
+
 @_q(
     "graph_kcore",
     """
@@ -7000,6 +7088,7 @@ _GATE_FIRST = [
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
     "curation_v2_pipeline", "incremental_neardup", "doc_dedup_containment", "graph_kcore",
+    "doc_budget_selection",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
