@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_dedup_containment",
     "graph_kcore",
     "doc_budget_selection",
+    "events_decayed_totals",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -6622,6 +6622,70 @@ def events_transition_matrix(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Events: half-life-decayed totals — freshness weighting with a 1-day
+# half-life, EXACT because the decay is an integer right-shift
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_decayed_totals",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(trunc(value * 100) AS BIGINT)
+                    >> LEAST(datediff('day', CAST(ts AS DATE),
+                                      (SELECT m FROM mx)), 62))
+                AS BIGINT) AS decayed_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def events_decayed_totals(sf_dir: str):
+    """Freshness-weighted totals: each event's integer cents decay by
+    a factor of 2 per day of age (age measured from the corpus's max
+    event DATE) — the recency weighting of trending/decay dashboards,
+    but with the decay as an integer right-shift so the sum is exact
+    under any reduction order (a float 0.5^age would hash-flap).
+    Shape: per-block max-date partials fold on the driver (scalars,
+    no exchange), one stateless shift map, one tiny aggregate."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86_400_000_000
+
+    # corpus max DATE: per-block partial maxima folded on the driver
+    # (integer epoch-us end to end — datetime.timestamp() would
+    # reinterpret the naive value in the box's local timezone)
+    mx_us = None
+    for b in ds.map_batches(
+            lambda b: pa.table({"m": [pc.max(
+                pc.cast(b["ts"], pa.int64())).as_py()]}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        v = pc.max(b["m"]).as_py()
+        mx_us = v if mx_us is None or (v is not None and v > mx_us) \
+            else mx_us
+    mx_day = mx_us // day_us
+
+    def decay(batch: pa.Table, _mx=mx_day) -> pa.Table:
+        cents = _to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        age = np.minimum(_mx - ts // day_us, 62).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(age), np.int64)),
+            "decayed_cents": pa.array(cents >> age, pa.int64()),
+        })
+
+    out = bucket_aggregate(
+        ds.map_batches(decay, batch_format="pyarrow"), ["event_type"],
+        [("sum", "n", "n"), ("sum", "decayed_cents", "decayed_cents")],
+        num_buckets=4)
+    return _collect(out, pa.schema([("event_type", pa.string()),
+                                    ("n", pa.int64()),
+                                    ("decayed_cents", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
 # Documents: budget-capped selection — take the most target-like docs
 # (DSIR order) until a token budget is exhausted: global sort + a
 # distributed running-sum cut
@@ -7088,7 +7152,7 @@ _GATE_FIRST = [
     "events_transition_matrix", "doc_top_terms_cms", "ann_topk_pq",
     "doc_model_quality", "doc_shard_shuffle", "doc_cluster_sample", "jsonl_gz_roundtrip", "graph_ppr", "graph_hits", "doc_normalize_dedup", "events_value_mad_outliers", "doc_blocklist_flags", "events_watermark_windows", "events_value_winsorized",
     "curation_v2_pipeline", "incremental_neardup", "doc_dedup_containment", "graph_kcore",
-    "doc_budget_selection",
+    "doc_budget_selection", "events_decayed_totals",
     "embedding_kmeans", "graph_triangles", "embedding_semantic_dedup",
     "doc_bpe_train", "doc_dup_ngrams", "doc_bpe_encode",
     "graph_communities",
