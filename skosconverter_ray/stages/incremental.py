@@ -218,7 +218,13 @@ def ingest_near_dup(docs_ds, store_dir: str, *, text_col: str = "text",
     write BEFORE index, so a crash can only leave docs unmatchable →
     they re-ingest as novel (conservative duplicate shards, never a
     false dedup); re-running a completed round flags every doc as
-    dup-of-prior and appends empty shards — idempotent."""
+    dup-of-prior and appends empty shards — idempotent.
+
+    The append path folds the ROUND's novel ids/blobs through the
+    driver (like append_fingerprints — bounded by the ingest round,
+    never the accumulated corpus); a crawl whose single round exceeds
+    driver memory writes shards from map tasks instead, exactly like
+    state/manifest.write_partitioned."""
     import ray
     import ray.data as rd
 
