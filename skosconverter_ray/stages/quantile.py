@@ -59,9 +59,17 @@ def per_key_quantiles(ds, key_col: str, val_col: str,
             cols[a] = pa.array(v_s[idx], pa.float64())
         return pa.table(cols)
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(pick, batch_format="pyarrow"))
+    from .shardutil import scatter_apply_by_value
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    key_type = tagged.schema().base_schema.field(key_col).type
+    out_empty = pa.schema([(key_col, key_type)] + [
+        (a, pa.float64()) for a in aliases]).empty_table()
+    # task-level hash exchange instead of the sort-based groupby —
+    # rows already carry the int bucket (same conversion as
+    # joinutil/bucket_aggregate; see BASELINE.md round-4 notes)
+    return scatter_apply_by_value(tagged, "_bucket", num_buckets, pick,
+                                  empty_result=out_empty)
 
 
 def ntile_per_key(ds, key_col: str, order_col: str, tiebreak: str,
@@ -115,7 +123,14 @@ def ntile_per_key(ds, key_col: str, order_col: str, tiebreak: str,
         cols["q"] = pa.array(tile, pa.int64())
         return pa.table(cols)
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(lambda g: rank(g.drop_columns(["_bucket"])),
-                        batch_format="pyarrow"))
+    from .shardutil import scatter_apply_by_value
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    base = tagged.schema().base_schema
+    out_empty = pa.schema(
+        [(c, base.field(c).type) for c in id_cols]
+        + [("q", pa.int64())]).empty_table()
+    return scatter_apply_by_value(
+        tagged, "_bucket", num_buckets,
+        lambda g: rank(g.drop_columns(["_bucket"])),
+        empty_result=out_empty)
