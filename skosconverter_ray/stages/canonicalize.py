@@ -373,11 +373,16 @@ def components_min_label(edges_ds, *, max_rounds: int = 64,
     # Fast path: a dimension-sized equivalence graph is solved exactly
     # on the driver (no per-round scheduling latency). Above the
     # threshold, the distributed propagation below runs with bounded
-    # driver memory.
-    if n_edges <= _DRIVER_UF_MAX:
+    # driver memory. Engine contract shared with the other iterative
+    # operators (graph.resolve_engine).
+    from .graph import resolve_engine
+
+    engine = resolve_engine(engine, n_edges, _DRIVER_UF_MAX,
+                            extra=("dataset",))
+    if engine == "driver":
         return _driver_union_find(edges, _rank)
 
-    if engine in ("auto", "actors"):
+    if engine == "actors":
         return _components_actors(edges, max_rounds=max_rounds,
                                   preferred_ns=preferred_ns,
                                   num_buckets=num_buckets)

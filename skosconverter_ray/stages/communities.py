@@ -58,19 +58,18 @@ def _lpa_driver(norm_ds, *, n_iter: int):
     """Vectorized numpy fast path over a pinned (src, dst) Dataset."""
     import ray.data as rd
 
+    from .graph import encode_node_codes
+
     srcs, dsts = [], []
     for b in norm_ds.iter_batches(batch_format="pyarrow",
                                   batch_size=262144):
-        srcs.append(b["src"].to_numpy(zero_copy_only=False))
-        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-    src = np.concatenate(srcs) if srcs else np.array([], dtype=object)
-    dst = np.concatenate(dsts) if dsts else np.array([], dtype=object)
-    nodes, inv = np.unique(np.concatenate([src, dst]),
-                           return_inverse=True)
-    m = len(src)
+        srcs.append(b["src"])
+        dsts.append(b["dst"])
+    nodes, codes = encode_node_codes(srcs + dsts)
+    m = len(codes) // 2
     # symmetrize: votes flow both ways along every edge row
-    es = np.concatenate([inv[:m], inv[m:]])
-    ed = np.concatenate([inv[m:], inv[:m]])
+    es = np.concatenate([codes[:m], codes[m:]])
+    ed = np.concatenate([codes[m:], codes[:m]])
     n = len(nodes)
     lbl = np.arange(n, dtype=np.int64)
     for _ in range(n_iter):
@@ -85,11 +84,12 @@ def _lpa_driver(norm_ds, *, n_iter: int):
         if (new == lbl).all():
             break
         lbl = new
-    # index order == lexicographic node order (np.unique sorts), so
-    # min index == min label string — same tie rule as the actor path
+    # code order == lexicographic node order (encode_node_codes
+    # recodes by sorted dictionary), so min index == min label string
+    # — same tie rule as the actor path
     return rd.from_arrow(pa.table({
-        "node": pa.array(nodes, pa.string()),
-        "label": pa.array(nodes[lbl], pa.string())}))
+        "node": nodes,
+        "label": nodes.take(pa.array(lbl, pa.int64()))}))
 
 
 class _LPAShard:
@@ -247,7 +247,9 @@ def label_propagation(edges_ds, *, n_iter: int = 5,
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
             "label": pa.array([], pa.string())}))
-    if engine != "actors" and n_edges <= max_driver_edges:
+    from .graph import resolve_engine
+
+    if resolve_engine(engine, n_edges, max_driver_edges) == "driver":
         return _lpa_driver(norm, n_iter=n_iter)
     return _lpa_actors(norm, n_iter=n_iter, num_shards=num_shards)
 

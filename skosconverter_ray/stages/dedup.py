@@ -312,6 +312,29 @@ def exact_jaccard_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
     return out
 
 
+def containment_verify_batch(batch: pa.Table, *,
+                             threshold: float) -> pa.Table:
+    """pairs joined with both shingle sets -> exact containment
+    |A∩B|/|A| filter (asymmetric twin of exact_jaccard_batch)."""
+    a_sets = batch["shingles_a"].to_pylist()
+    b_sets = batch["shingles_b"].to_pylist()
+    cont = np.empty(len(a_sets), np.float64)
+    for i, (ba, bb) in enumerate(zip(a_sets, b_sets)):
+        sa = np.frombuffer(ba or b"", dtype="<u8")
+        sb = np.frombuffer(bb or b"", dtype="<u8")
+        if sa.size == 0:
+            cont[i] = 0.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        cont[i] = inter / sa.size
+    keep = cont >= threshold - 1e-12
+    return pa.table({
+        "doc_a": batch["doc_a"].filter(pa.array(keep)),
+        "doc_b": batch["doc_b"].filter(pa.array(keep)),
+        "containment": pa.array(np.round(cont[keep], 6)),
+    })
+
+
 _MINHASH_BROADCAST_MAX = int(
     os.environ.get("GRAFT_MINHASH_BROADCAST_MAX", "100000"))
 # NOTE (round 4, measured): broadening this gate to ~300 MB of blobs
@@ -387,46 +410,72 @@ def minhash_near_dup_pairs(docs_ds, *, text_col: str = "text",
     # distributed verify (round 4): TWO task-level cogroup exchanges
     # replace pair-dedup + two tagged cogroup joins (six barrier steps
     # down to two — the fixed per-barrier latency, not data volume,
-    # dominated the two-width scaling of this pipeline). Exchange 1
-    # cogroups the RAW banding pairs with the shingle table on doc_a:
-    # every duplicate copy of a pair shares doc_a, so the local
-    # distinct sees them all; shingles_a attaches via one local Arrow
-    # join. Exchange 2 cogroups the halves with the shingle table on
-    # doc_b, attaches shingles_b and verifies exact jaccard inline.
-    # Both inputs are from_arrow_refs outputs, so each exchange reads
-    # existing refs — no re-materialize.
-    from .shardutil import cogroup_scatter
+    # dominated the two-width scaling of this pipeline). Round 5:
+    # extracted as verify_pairs_scatter so the containment join and
+    # the cross-run near-dup store share the identical shape.
+    from functools import partial
 
     names = docs_ds.schema().names  # parquet metadata only — cheap
     id_type = docs_ds.schema().types[names.index(id_col)]
-    half_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
-                             ("shingles_a", pa.binary())])
     out_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
                             ("jaccard", pa.float64())])
+    return verify_pairs_scatter(
+        cand, sh, row_verify=partial(exact_jaccard_batch,
+                                     threshold=threshold),
+        out_schema=out_schema, id_type=id_type,
+        num_partitions=num_partitions)
+
+
+def verify_pairs_scatter(pairs_ds, sh_ds, *, row_verify,
+                         out_schema: pa.Schema, id_type=None,
+                         num_partitions: int = 32):
+    """Distributed candidate-pair verification: attach both documents'
+    compact shingle blobs to ``(doc_a, doc_b)`` pairs with TWO
+    task-level cogroup exchanges, applying ``row_verify`` (a batch
+    kernel over doc_a/doc_b/shingles_a/shingles_b columns) inside the
+    second exchange's gather — the shingle table is NEVER broadcast or
+    read onto the driver, so the corpus side scales without a gate.
+
+    Exchange 1 cogroups the RAW banding pairs with the shingle table
+    on doc_a: every duplicate copy of a pair shares doc_a, so a local
+    distinct sees them all; shingles_a attaches via one local Arrow
+    join. Exchange 2 cogroups the halves with the shingle table on
+    doc_b, attaches shingles_b and runs ``row_verify`` inline. Both
+    inputs must be materialized (from_arrow_refs outputs — as
+    scatter_apply_by_value / bucket_aggregate produce — qualify for
+    free); each exchange then reads existing refs, no re-materialize.
+    """
+    from .shardutil import cogroup_scatter
+
+    if id_type is None:
+        id_type = out_schema.field("doc_a").type
+    half_schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                             ("shingles_a", pa.binary())])
 
     def attach_a(pairs: pa.Table | None, sh_t: pa.Table | None):
         if pairs is None or sh_t is None:
             return half_schema.empty_table()
-        pairs = pairs.group_by(["doc_a", "doc_b"]).aggregate([])
-        sh_a = sh_t.rename_columns(["_id_a", "shingles_a"])
+        pairs = pairs.select(["doc_a", "doc_b"]) \
+            .group_by(["doc_a", "doc_b"]).aggregate([])
+        sh_a = sh_t.select(["doc_id", "shingles"]) \
+            .rename_columns(["_id_a", "shingles_a"])
         return pairs.join(sh_a, keys=["doc_a"], right_keys=["_id_a"],
                           join_type="inner").select(
             ["doc_a", "doc_b", "shingles_a"]).cast(half_schema)
 
-    def attach_b_verify(half: pa.Table | None, sh_t: pa.Table | None,
-                        _thr=threshold):
+    def attach_b_verify(half: pa.Table | None, sh_t: pa.Table | None):
         if half is None or sh_t is None:
             return out_schema.empty_table()
-        sh_b = sh_t.rename_columns(["_id_b", "shingles_b"])
+        sh_b = sh_t.select(["doc_id", "shingles"]) \
+            .rename_columns(["_id_b", "shingles_b"])
         joined = half.join(sh_b, keys=["doc_b"], right_keys=["_id_b"],
                            join_type="inner")
-        return exact_jaccard_batch(joined, threshold=_thr) \
-            .cast(out_schema)
+        return row_verify(joined).cast(out_schema)
 
-    halves = cogroup_scatter(cand, "doc_a", sh, "doc_id",
+    halves = cogroup_scatter(pairs_ds, "doc_a", sh_ds, "doc_id",
                              num_partitions, attach_a,
                              empty_result=half_schema.empty_table())
-    return cogroup_scatter(halves, "doc_b", sh, "doc_id",
+    return cogroup_scatter(halves, "doc_b", sh_ds, "doc_id",
                            num_partitions, attach_b_verify,
                            empty_result=out_schema.empty_table())
 
@@ -887,9 +936,21 @@ def containment_pairs(docs_ds, *, text_col: str = "text",
         lambda b: shingles_batch(b, text_col, id_col),
         batch_format="pyarrow", batch_size=512).materialize()
     if sh_tbl.count() > _MINHASH_BROADCAST_MAX:
-        raise NotImplementedError(
-            "containment verify above the broadcast gate: reuse the "
-            "two-exchange task cogroup of minhash_near_dup_pairs")
+        # above the broadcast gate: the SAME two-exchange task cogroup
+        # as minhash_near_dup_pairs (round 5 — replaces the former
+        # NotImplementedError cliff; the pairs dataset must be
+        # materialized for the scatter's to_arrow_refs fast path)
+        from functools import partial
+
+        out_schema = pa.schema([("doc_a", pa.int64()),
+                                ("doc_b", pa.int64()),
+                                ("containment", pa.float64())])
+        return verify_pairs_scatter(
+            pairs.materialize(), sh_tbl,
+            row_verify=partial(containment_verify_batch,
+                               threshold=threshold),
+            out_schema=out_schema, id_type=pa.int64(),
+            num_partitions=num_buckets)
     blob: dict = {}
     for b in sh_tbl.iter_batches(batch_format="pyarrow",
                                  batch_size=65536):
@@ -899,22 +960,16 @@ def containment_pairs(docs_ds, *, text_col: str = "text",
 
     def verify(batch: pa.Table, _ref=ref, _c=threshold) -> pa.Table:
         table = ray.get(_ref)
-        a_ids = batch["doc_a"].to_pylist()
-        b_ids = batch["doc_b"].to_pylist()
-        cont = np.empty(len(a_ids), np.float64)
-        for i, (da, db) in enumerate(zip(a_ids, b_ids)):
-            sa = np.frombuffer(table.get(da) or b"", dtype="<u8")
-            sb = np.frombuffer(table.get(db) or b"", dtype="<u8")
-            if sa.size == 0:
-                cont[i] = 0.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            cont[i] = inter / sa.size
-        keep = cont >= _c - 1e-12
-        return pa.table({
-            "doc_a": batch["doc_a"].filter(pa.array(keep)),
-            "doc_b": batch["doc_b"].filter(pa.array(keep)),
-            "containment": pa.array(np.round(cont[keep], 6)),
+        joined = pa.table({
+            "doc_a": batch["doc_a"],
+            "doc_b": batch["doc_b"],
+            "shingles_a": pa.array(
+                [table.get(d) for d in batch["doc_a"].to_pylist()],
+                pa.binary()),
+            "shingles_b": pa.array(
+                [table.get(d) for d in batch["doc_b"].to_pylist()],
+                pa.binary()),
         })
+        return containment_verify_batch(joined, threshold=_c)
 
     return pairs.map_batches(verify, batch_format="pyarrow")

@@ -56,13 +56,65 @@ def _reset_vector(nodes, seeds) -> np.ndarray:
     n = len(nodes)
     if seeds is None:
         return np.full(n, 1.0 / max(1, n))
-    mask = np.isin(np.asarray(nodes, dtype=object),
-                   np.asarray(sorted(seeds), dtype=object))
+    if isinstance(nodes, (pa.Array, pa.ChunkedArray)):
+        mask = pc.is_in(nodes, value_set=pa.array(
+            sorted(seeds), pa.string())).to_numpy(zero_copy_only=False)
+    else:
+        mask = np.isin(np.asarray(nodes, dtype=object),
+                       np.asarray(sorted(seeds), dtype=object))
     k = int(mask.sum())
     if k == 0:
         raise ValueError("personalized pagerank: no seed node "
                          "present in the graph")
     return np.where(mask, 1.0 / k, 0.0)
+
+
+def resolve_engine(engine: str, n_edges: int, max_driver_edges: int,
+                   extra: tuple = ()) -> str:
+    """Shared gate for the iterative operators' ``engine`` kwarg
+    (round 5 — pagerank/hits/kcore/label_propagation/
+    components_min_label previously each had their own convention):
+    ``"auto"`` routes by the driver gate (numpy fast path at or below
+    ``max_driver_edges`` edge rows, shard actors above); an explicit
+    name picks that engine unconditionally; anything else is rejected
+    loudly instead of silently running some default."""
+    valid = ("auto", "driver", "actors") + tuple(extra)
+    if engine not in valid:
+        raise ValueError(f"unknown engine {engine!r}; expected one "
+                         f"of {valid}")
+    if engine == "auto":
+        return "driver" if n_edges <= max_driver_edges else "actors"
+    return engine
+
+
+def encode_node_codes(cols) -> tuple[pa.Array, np.ndarray]:
+    """Concatenated string columns -> (lexicographically sorted unique
+    node array, int64 codes over the concatenation, with integer order
+    == string order so index-based tie rules match string tie rules).
+
+    One Arrow ``dictionary_encode`` replaces ``np.unique`` over
+    object-dtype numpy at the iterative operators' driver gates
+    (round 5): at the 4M-edge gate the object arrays held GBs of
+    PyStr; dictionary codes peel/propagate at int64 speed and the
+    strings materialize exactly once, in the dictionary."""
+    arrs: list[pa.Array] = []
+    for c in cols:
+        if isinstance(c, pa.ChunkedArray):
+            arrs.extend(c.chunks)
+        elif c is not None:
+            arrs.append(c)
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    enc = pa.concat_arrays(arrs).dictionary_encode()
+    d = enc.dictionary
+    order = pc.sort_indices(d).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rank = np.empty(len(d), np.int64)
+    rank[order] = np.arange(len(d), dtype=np.int64)
+    codes = rank[enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64)]
+    return d.take(pa.array(order, pa.int64())), codes
 
 
 def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
@@ -80,14 +132,11 @@ def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
     srcs, dsts = [], []
     for b in norm_ds.iter_batches(batch_format="pyarrow",
                                   batch_size=262144):
-        srcs.append(b["src"].to_numpy(zero_copy_only=False))
-        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-    src = np.concatenate(srcs) if srcs else np.array([], dtype=object)
-    dst = np.concatenate(dsts) if dsts else np.array([], dtype=object)
-    nodes, inv = np.unique(np.concatenate([src, dst]),
-                           return_inverse=True)
-    m = len(src)
-    src_i, dst_i = inv[:m], inv[m:]
+        srcs.append(b["src"])
+        dsts.append(b["dst"])
+    nodes, codes = encode_node_codes(srcs + dsts)
+    m = len(codes) // 2
+    src_i, dst_i = codes[:m], codes[m:]
     n = len(nodes)
     deg = np.bincount(src_i, minlength=n).astype(np.float64)
     dangling = deg == 0.0
@@ -106,7 +155,7 @@ def _pagerank_driver(norm_ds, *, damping: float, n_iter: int,
         if tol is not None and delta < tol:
             break
     return rd.from_arrow(pa.table({
-        "node": pa.array(nodes, pa.string()),
+        "node": nodes,
         "rank": pa.array(r, pa.float64())}))
 
 
@@ -343,7 +392,9 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                                        "rank": pa.array([], pa.float64())}))
     seeds = frozenset(str(s) for s in seeds) if seeds is not None \
         else None
-    if n_edges <= max_driver_edges:
+    engine = resolve_engine(engine, n_edges, max_driver_edges,
+                            extra=("dataset",))
+    if engine == "driver":
         return _pagerank_driver(norm, damping=damping, n_iter=n_iter,
                                 tol=tol, seeds=seeds)
 
@@ -354,7 +405,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             batch["dst"], pa.ChunkedArray) else batch["dst"]
         return pa.table({"node": pa.concat_arrays([s, d])})
 
-    if engine in ("auto", "actors"):
+    if engine == "actors":
         # zero-exchange setup: the shards derive node sets, degrees
         # and dangling flags locally from two task-level edge splits
         # (by src and by dst) — none of the nodes/deg/edges/flagged
@@ -699,14 +750,11 @@ def _hits_driver(norm_ds, *, n_iter: int):
     srcs, dsts = [], []
     for b in norm_ds.iter_batches(batch_format="pyarrow",
                                   batch_size=262144):
-        srcs.append(b["src"].to_numpy(zero_copy_only=False))
-        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-    src = np.concatenate(srcs) if srcs else np.array([], dtype=object)
-    dst = np.concatenate(dsts) if dsts else np.array([], dtype=object)
-    nodes, inv = np.unique(np.concatenate([src, dst]),
-                           return_inverse=True)
-    m = len(src)
-    src_i, dst_i = inv[:m], inv[m:]
+        srcs.append(b["src"])
+        dsts.append(b["dst"])
+    nodes, codes = encode_node_codes(srcs + dsts)
+    m = len(codes) // 2
+    src_i, dst_i = codes[:m], codes[m:]
     n = len(nodes)
     h = np.full(n, 1.0 / np.sqrt(max(1, n)))
     a = h.copy()
@@ -720,7 +768,7 @@ def _hits_driver(norm_ds, *, n_iter: int):
         if nh > 0:
             h /= nh
     return rd.from_arrow(pa.table({
-        "node": pa.array(nodes, pa.string()),
+        "node": nodes,
         "hub": pa.array(h, pa.float64()),
         "auth": pa.array(a, pa.float64())}))
 
@@ -914,7 +962,7 @@ def hits(edges_ds, *, n_iter: int = 20, src_col: str = "src",
             "node": pa.array([], pa.string()),
             "hub": pa.array([], pa.float64()),
             "auth": pa.array([], pa.float64())}))
-    if n_edges <= max_driver_edges and engine == "auto":
+    if resolve_engine(engine, n_edges, max_driver_edges) == "driver":
         return _hits_driver(norm, n_iter=n_iter)
     return _hits_actors(norm, n_iter=n_iter,
                         num_shards=max(2, min(num_shards, 8)))
@@ -1090,16 +1138,17 @@ def kcore(edges_ds, *, k: int, a_col: str = "a", b_col: str = "b",
     if n_edges == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
                                        "in_core": pa.array([], pa.bool_())}))
-    if n_edges <= max_driver_edges and engine == "auto":
+    if resolve_engine(engine, n_edges, max_driver_edges) == "driver":
         srcs, dsts = [], []
         for b in norm.iter_batches(batch_format="pyarrow",
                                    batch_size=262144):
-            srcs.append(np.asarray(b["src"].to_pylist(), dtype=object))
-            dsts.append(np.asarray(b["dst"].to_pylist(), dtype=object))
-        nodes, alive = _kcore_driver(np.concatenate(srcs),
-                                     np.concatenate(dsts), k)
+            srcs.append(b["src"])
+            dsts.append(b["dst"])
+        nodes_pa, codes = encode_node_codes(srcs + dsts)
+        m = len(codes) // 2
+        node_c, alive = _kcore_driver(codes[:m], codes[m:], k)
         return rd.from_arrow(pa.table({
-            "node": pa.array(nodes.tolist(), pa.string()),
+            "node": nodes_pa.take(pa.array(node_c, pa.int64())),
             "in_core": pa.array(alive)}))
     return _kcore_actors(norm, k=k,
                          num_shards=max(2, min(num_shards, 8)))

@@ -275,46 +275,80 @@ def ingest_near_dup(docs_ds, store_dir: str, *, text_col: str = "text",
             bucket_key="doc_a").drop_columns(["_n"]).materialize()
 
         if pairs.count():
-            # verify with exact jaccard; blob table = new shingles +
-            # stored shingles (size-gated broadcast, as in dedup.py)
-            old_sh = pq.read_table(sh_paths) if sh_paths else \
-                pa.table({"doc_id": pa.array([], pa.int64()),
-                          "shingles": pa.array([], pa.binary())})
-            blob: dict = dict(zip(old_sh["doc_id"].to_pylist(),
-                                  old_sh["shingles"].to_pylist()))
-            n_blob = len(blob) + new_sh.count()
+            # verify with exact jaccard. Blob side = new shingles +
+            # stored shingle SHARDS; shard sizes come from parquet
+            # footers (no data read). Under the broadcast gate the
+            # blobs ship once via ray.put — driver reads are bounded
+            # by the gate, never the accumulated store. Above it
+            # (round 5 — closes the former NotImplementedError scale
+            # stub) verification rides the SAME two-exchange task
+            # cogroup as stages/dedup.minhash_near_dup_pairs, with the
+            # stored shards read as a Dataset: nothing store-sized
+            # ever lands on the driver.
+            n_stored = sum(pq.read_metadata(p).num_rows
+                           for p in sh_paths)
+            n_blob = n_stored + new_sh.count()
             if n_blob > _MINHASH_BROADCAST_MAX:
-                raise NotImplementedError(
-                    "near-dup store verify above the broadcast gate: "
-                    "use the two-exchange task cogroup of "
-                    "stages/dedup.minhash_near_dup_pairs (same shape; "
-                    "wire-up deliberately deferred until a corpus "
-                    "needs it)")
-            for b in new_sh.iter_batches(batch_format="pyarrow",
-                                         batch_size=65536):
-                blob.update(zip(b["doc_id"].to_pylist(),
-                                b["shingles"].to_pylist()))
-            ref = ray.put(blob)
+                from functools import partial
 
-            def verify(batch: pa.Table, _ref=ref,
-                       _t=threshold) -> pa.Table:
-                table = ray.get(_ref)
-                joined = pa.table({
-                    "doc_a": batch["doc_a"],
-                    "doc_b": batch["doc_b"],
-                    "shingles_a": pa.array(
-                        [table.get(d) for d in
-                         batch["doc_a"].to_pylist()], pa.binary()),
-                    "shingles_b": pa.array(
-                        [table.get(d) for d in
-                         batch["doc_b"].to_pylist()], pa.binary()),
-                })
-                out = exact_jaccard_batch(joined, threshold=_t)
-                return pa.table({"dup_doc": out["doc_a"]})
+                from .dedup import verify_pairs_scatter
+
+                all_sh = new_sh
+                if sh_paths:
+                    stored_sh = rd.read_parquet(
+                        sh_paths,
+                        columns=["doc_id", "shingles"]).map_batches(
+                        # rebuild without the algo-stamp schema
+                        # metadata so union blocks concat cleanly
+                        lambda b: pa.table({"doc_id": b["doc_id"],
+                                            "shingles": b["shingles"]}),
+                        batch_format="pyarrow")
+                    all_sh = new_sh.union(stored_sh)
+                all_sh = all_sh.materialize()
+                verified = verify_pairs_scatter(
+                    pairs, all_sh,
+                    row_verify=partial(exact_jaccard_batch,
+                                       threshold=threshold),
+                    out_schema=pa.schema([("doc_a", pa.int64()),
+                                          ("doc_b", pa.int64()),
+                                          ("jaccard", pa.float64())]),
+                    id_type=pa.int64(), num_partitions=num_buckets)
+                dup_src = verified.map_batches(
+                    lambda b: pa.table({"dup_doc": b["doc_a"]}),
+                    batch_format="pyarrow").materialize()
+            else:
+                old_sh = pq.read_table(sh_paths) if sh_paths else \
+                    pa.table({"doc_id": pa.array([], pa.int64()),
+                              "shingles": pa.array([], pa.binary())})
+                blob: dict = dict(zip(old_sh["doc_id"].to_pylist(),
+                                      old_sh["shingles"].to_pylist()))
+                for b in new_sh.iter_batches(batch_format="pyarrow",
+                                             batch_size=65536):
+                    blob.update(zip(b["doc_id"].to_pylist(),
+                                    b["shingles"].to_pylist()))
+                ref = ray.put(blob)
+
+                def verify(batch: pa.Table, _ref=ref,
+                           _t=threshold) -> pa.Table:
+                    table = ray.get(_ref)
+                    joined = pa.table({
+                        "doc_a": batch["doc_a"],
+                        "doc_b": batch["doc_b"],
+                        "shingles_a": pa.array(
+                            [table.get(d) for d in
+                             batch["doc_a"].to_pylist()], pa.binary()),
+                        "shingles_b": pa.array(
+                            [table.get(d) for d in
+                             batch["doc_b"].to_pylist()], pa.binary()),
+                    })
+                    out = exact_jaccard_batch(joined, threshold=_t)
+                    return pa.table({"dup_doc": out["doc_a"]})
+
+                dup_src = pairs.map_batches(verify,
+                                            batch_format="pyarrow")
 
             dup_ids = bucket_aggregate(
-                pairs.map_batches(verify, batch_format="pyarrow"),
-                ["dup_doc"], [("count", None, "_n")],
+                dup_src, ["dup_doc"], [("count", None, "_n")],
                 num_buckets=num_buckets).drop_columns(["_n"])
 
     if dup_ids is None:

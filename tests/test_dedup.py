@@ -615,3 +615,37 @@ def test_containment_prefix_filter_exactness(ray_session):
             if inter / sets[a].size >= 0.7 - 1e-12:
                 want.add((a, b))
     assert got == want
+
+def test_containment_distributed_verify_parity(ray_session, monkeypatch):
+    """Above the broadcast gate, containment verification rides the
+    same two-exchange task cogroup as minhash — pairs and containment
+    values must match the broadcast path exactly (round 5: this path
+    used to be a NotImplementedError cliff)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages import dedup as D
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(20):
+        short = " ".join(rng.choice(vocab, size=8))
+        host = short + " " + " ".join(rng.choice(vocab, size=25))
+        texts += [short, host,
+                  " ".join(rng.choice(vocab, size=rng.integers(6, 30)))]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+
+    broad = {(r["doc_a"], r["doc_b"]): r["containment"]
+             for r in D.containment_pairs(docs, threshold=0.7)
+             .take_all()}
+    monkeypatch.setattr(D, "_MINHASH_BROADCAST_MAX", 0)
+    dist = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in D.containment_pairs(docs, threshold=0.7)
+            .take_all()}
+    assert broad == dist
+    assert len(broad) > 0

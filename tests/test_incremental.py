@@ -134,3 +134,29 @@ def test_near_dup_store_refuses_algo_mismatch(ray_session, tmp_path):
         store / "index" / "shard-x.parquet")
     with _pt.raises(NearDupStoreAlgoMismatch):
         ingest_near_dup(_nd_docs(_ND_A), str(store))
+
+def test_near_dup_ingest_distributed_verify(ray_session, tmp_path,
+                                            monkeypatch):
+    """Forcing the broadcast gate to 0 routes verification through the
+    two-exchange task cogroup vs the stored shingle SHARDS (read as a
+    Dataset, never onto the driver) — flags must match the broadcast
+    path exactly, including idempotent replay."""
+    from skosconverter_ray.stages import dedup as D
+    from skosconverter_ray.stages.incremental import ingest_near_dup
+
+    monkeypatch.setattr(D, "_MINHASH_BROADCAST_MAX", 0)
+    store = str(tmp_path / "nd")
+    fa = {r["doc_id"]: r["dup_of_prior"]
+          for b in ingest_near_dup(_nd_docs(_ND_A), store)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fa == {0: False, 2: False, 4: False}
+
+    fb = {r["doc_id"]: r["dup_of_prior"]
+          for b in ingest_near_dup(_nd_docs(_ND_B), store)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fb == {1: True, 3: False}
+
+    fb2 = {r["doc_id"]: r["dup_of_prior"]
+           for b in ingest_near_dup(_nd_docs(_ND_B), store)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fb2 == {1: True, 3: True}
