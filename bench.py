@@ -334,6 +334,79 @@ def _scale_dedup_worker(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def _scale_curation_worker(num_cpus: int) -> None:
+    """Third scaling job: the curation_v2 composition (fused
+    blocklist+model-quality actor gate, normalize-dedup winners, DSIR
+    affinity, cluster-sample survivors — THREE doc-bucket cogroup
+    joins plus a lang aggregate) — the multi-join shape, vs the
+    flagship's linker-dominated and the dedup job's shuffle-heavy
+    ones. Corpus prep (including the one-file parquet write the query
+    helpers expect) is untimed, like the other scaling workers."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from skosconverter_ray.queries import curation_v2_pipeline
+
+    n_docs = SCALING_DOCS
+    tmp = tempfile.mkdtemp(prefix="graft_cur_", dir="/tmp")
+    try:
+        def prep(batch):
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy()
+            lang = np.where(ids % 3 == 0, "en",
+                            np.where(ids % 3 == 1, "de", "fr"))
+            # weave stopwords in as a function of the TEXT ONLY (so
+            # exact/near-dup pairs stay exact/near dups) — the raw
+            # word-soup corpus has zero stopwords and the quality
+            # gate correctly rejects all of it
+            stops = ("the", "and", "of", "to", "in")
+            texts = []
+            for t in batch["text"].to_pylist():
+                ws = t.split()
+                out = []
+                for i, w in enumerate(ws):
+                    out.append(w)
+                    if i % 3 == 2:
+                        out.append(stops[i % 5])
+                texts.append(" ".join(out))
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "lang": pa.array(lang.tolist(), pa.string()),
+                "text": pa.array(texts, pa.string()),
+            })
+
+        writer = None
+        for b in (_dedup_corpus(n_docs, num_cpus)
+                  .map_batches(prep, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow",
+                                batch_size=16384)):
+            if writer is None:
+                writer = pq.ParquetWriter(f"{tmp}/documents.parquet",
+                                          b.schema)
+            writer.write_table(b)
+        if writer is not None:
+            writer.close()
+
+        t0 = time.perf_counter()
+        out = curation_v2_pipeline(tmp)
+        wall = time.perf_counter() - t0
+        kept = sum(out["n_docs"].to_pylist())
+        print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),
+                          "docs": n_docs, "kept": int(kept),
+                          "langs": out.num_rows,
+                          "docs_per_s": round(n_docs / wall, 1)}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ray.shutdown()
+
+
 def run_scaling(worker_flag: str = "--_scale-worker",
                 label: str = "") -> None:
     ceiling = _measure_ceiling()
@@ -380,8 +453,14 @@ if __name__ == "__main__":
     elif "--_scale-dedup-worker" in sys.argv:
         _scale_dedup_worker(
             int(sys.argv[sys.argv.index("--_scale-dedup-worker") + 1]))
+    elif "--_scale-curation-worker" in sys.argv:
+        _scale_curation_worker(
+            int(sys.argv[sys.argv.index("--_scale-curation-worker") + 1]))
     elif "--scaling-dedup" in sys.argv:
         run_scaling(worker_flag="--_scale-dedup-worker", label="_dedup")
+    elif "--scaling-curation" in sys.argv:
+        run_scaling(worker_flag="--_scale-curation-worker",
+                    label="_curation")
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

@@ -1093,7 +1093,12 @@ def _flagship_graph_outputs(sf_dir: str) -> dict:
 @_q(
     "flagship_graph",
     """
-    SELECT CAST(1566 AS BIGINT) AS n_triples,
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CASE WHEN (SELECT CAST(sum(length(text)) AS BIGINT)
+                      FROM documents) = 149174
+                THEN CAST(1566 AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS n_triples_pinned,
+           true AS has_triples,
            1.0 AS link_p, 1.0 AS link_r,
            true AS inverse_consistent
     """,
@@ -1101,13 +1106,17 @@ def _flagship_graph_outputs(sf_dir: str) -> dict:
 def flagship_graph(sf_dir: str):
     """Flagship KG construction surfaced as an oracle row (stateful
     linking + union-find has no SQL expression, so the row pins the
-    pipeline's own verifiable contract): n_triples on the pinned
-    seed-42 corpus at sf0.01, linking precision/recall vs the
-    generator's exact ground truth on the synthetic subset, and the
-    inverse-consistency fixpoint bit (re-applying the
+    pipeline's own verifiable contract): linking precision/recall vs
+    the generator's exact ground truth on the synthetic subset, and
+    the inverse-consistency fixpoint bit (re-applying the
     inverse_consistency operator to the output graph adds nothing).
-    The raw graph stays exposed through entry() and the flagship
-    pytests."""
+    The triple-count regression pin (1566 on the seed-42 ∪ sf
+    documents corpus) is sf-DEPENDENT, so both sides key it on the
+    corpus identity (total text chars — 149174 only at the driver's
+    sf0.01 table) and degrade to -1 plus the has_triples invariant at
+    any other scale (round 5, per advice: the pin is a regression
+    check, not scale-portable verification). The raw graph stays
+    exposed through entry() and the flagship pytests."""
     import ray
 
     from . import corpus
@@ -1144,8 +1153,27 @@ def flagship_graph(sf_dir: str):
     tp = len(found & truth)
     link_p = round(tp / max(1, len(found)), 4)
     link_r = round(tp / max(1, len(truth)), 4)
+
+    # corpus identity for the sf-dependent triple-count pin (one
+    # metadata+chars pass over the 2 needed columns)
+    docs = _read(sf_dir, "documents", ["text"])
+    n_chars = 0
+    n_docs = 0
+    for b in docs.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "c": pa.array([int(pc.sum(
+                    pc.utf8_length(t["text"])).as_py() or 0)],
+                    pa.int64())}),
+            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n_docs += pc.sum(b["n"]).as_py() or 0
+        n_chars += pc.sum(b["c"]).as_py() or 0
+    pinned = n_triples if n_chars == 149174 else -1
     return pa.table({
-        "n_triples": pa.array([n_triples], pa.int64()),
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_triples_pinned": pa.array([pinned], pa.int64()),
+        "has_triples": pa.array([n_triples > 0], pa.bool_()),
         "link_p": pa.array([link_p], pa.float64()),
         "link_r": pa.array([link_r], pa.float64()),
         "inverse_consistent": pa.array([inverse_ok], pa.bool_()),
@@ -4073,17 +4101,22 @@ def rolling_hash64(text: str) -> int:
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT CAST(sum(length(text)) AS BIGINT)
               FROM documents) AS n_chars_total,
-           CAST(-5857603289465584956 AS BIGINT) AS fp_checksum
+           CASE WHEN (SELECT CAST(sum(length(text)) AS BIGINT)
+                      FROM documents) = 149174
+                THEN CAST(-5857603289465584956 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS fp_checksum_pinned
     """,
 )
 def doc_fingerprint_rolling(sf_dir: str):
     """Per-doc rolling-hash fingerprints (Rabin-Karp blocking keys),
     surfaced as an oracle row: n_docs and the total character mass are
-    SQL-live cross-checks of the distributed map's coverage;
-    fp_checksum is the wrap-around int64 sum of every fingerprint
-    (reduction-order-free), a constant for the driver-generated sf0.01
-    table — any hash drift flips it. Per-doc values stay pinned by the
-    sequential-oracle pytest."""
+    SQL-live cross-checks of the distributed map's coverage at EVERY
+    scale; the checksum (wrap-around int64 sum of every fingerprint,
+    reduction-order-free) is a regression pin that only holds for the
+    driver's sf0.01 table, so both sides key it on the corpus identity
+    (total chars = 149174) and emit 0 elsewhere (round 5, per advice —
+    the n_docs/n_chars coverage checks stay live off-pin). Per-doc
+    values stay pinned by the sequential-oracle pytest."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -4109,12 +4142,12 @@ def doc_fingerprint_rolling(sf_dir: str):
             fp_sum += np.uint64(
                 b["fp_sum"].to_numpy(zero_copy_only=False)
                 .sum(dtype=np.uint64))
+    checksum = int(np.array([fp_sum], np.uint64).view(np.int64)[0]) \
+        if n_chars == 149174 else 0
     return pa.table({
         "n_docs": pa.array([n_docs], pa.int64()),
         "n_chars_total": pa.array([n_chars], pa.int64()),
-        "fp_checksum": pa.array(
-            [int(np.array([fp_sum], np.uint64).view(np.int64)[0])],
-            pa.int64()),
+        "fp_checksum_pinned": pa.array([checksum], pa.int64()),
     })
 
 
@@ -6713,24 +6746,125 @@ def doc_budget_selection(sf_dir: str):
     prefix whose cumulative token count fits 10% of the corpus — the
     'best N tokens' selection step of a data-constrained training run
     (and the greedy knapsack relaxation when value is additive).
-    Shape: the per-doc DSIR Dataset globally SORTS on the score (the
-    one operation here that must be a real distributed sort), then the
-    running total is the two-phase scan in SORTED-BLOCK order:
-    per-block sums fold on the driver (num_blocks scalars), an
-    exclusive scan of those gives each block's base, and one pass
-    emits local cumsum + base and cuts at the budget — every row moves
-    once after the sort, and the budget scalar comes from the same
-    fold (no extra pass)."""
-    dsr = _dsir_ds(sf_dir).select_columns(
-        ["doc_id", "n_tokens", "dsir_bits"])
-    s = dsr.sort(["dsir_bits", "doc_id"],
-                 descending=[True, False]).materialize()
 
-    # per-block token sums in sorted order -> driver exclusive scan
-    # (one remote scalar per block — the blocks themselves never
-    # transit the driver)
+    Round-5 plan (replaces the global sort + sorted-block scan, kept
+    as _budget_selection_sorted for the parity pytest): the score is
+    an INTEGER whose distinct-value count is bounded by the score
+    RANGE (bits x doc length), never the corpus, so a per-score
+    token-weighted histogram (one bucket aggregate, tiny output)
+    yields the exact threshold score b* on the driver; one stateless
+    filter keeps only docs at or above b* (~budget-fraction of the
+    corpus), and ONE score-keyed scatter emits each survivor's exact
+    cum_tokens (per-score doc_id-ordered cumsum + the broadcast
+    exclusive per-score base) and cuts at the budget. Exchange count:
+    aggregate + filter + scatter over the survivors vs a corpus-wide
+    distributed sort — and the only driver state is the histogram."""
+    dsr = _dsir_ds(sf_dir).select_columns(
+        ["doc_id", "n_tokens", "dsir_bits"]).materialize()
+    return _budget_selection_threshold(dsr)
+
+
+_BUDGET_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64()),
+                                ("dsir_bits", pa.int64()),
+                                ("cum_tokens", pa.int64())])
+
+
+def _budget_selection_threshold(dsr, *, budget_frac: int = 10,
+                                num_buckets: int = 16):
+    """Histogram-threshold budget cut (see doc_budget_selection).
+    ``dsr`` must be a materialized (doc_id, n_tokens, dsir_bits)
+    Dataset; keeps the (dsir_bits DESC, doc_id ASC) prefix with
+    cum_tokens <= total // budget_frac, emitting exact cum_tokens."""
+    from .stages.shardutil import scatter_apply_by_value
+    from .stages.skew import bucket_aggregate
+
+    hist = _collect(
+        bucket_aggregate(dsr.select_columns(["dsir_bits", "n_tokens"]),
+                         ["dsir_bits"], [("sum", "n_tokens", "toks")],
+                         num_buckets=num_buckets),
+        pa.schema([("dsir_bits", pa.int64()), ("toks", pa.int64())]))
+    if len(hist) == 0:
+        import ray.data as rd
+
+        return _collect(rd.from_arrow(_BUDGET_OUT_SCHEMA.empty_table()),
+                        _BUDGET_OUT_SCHEMA)
+    bits = hist["dsir_bits"].to_numpy()
+    toks = hist["toks"].to_numpy()
+    order = np.argsort(-bits)
+    bits, toks = bits[order], toks[order]
+    bases = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    budget = int(toks.sum()) // budget_frac
+    # bins whose exclusive base exceeds the budget can contribute no
+    # doc (every doc there has cum > base >= budget); the rest are the
+    # fully-selected prefix plus the one straddling bin
+    can = bases <= budget
+    if not can.any():
+        import ray.data as rd
+
+        return _collect(rd.from_arrow(_BUDGET_OUT_SCHEMA.empty_table()),
+                        _BUDGET_OUT_SCHEMA)
+    b_star = int(bits[can][-1])
+    base_map = {int(b): int(x) for b, x in zip(bits[can], bases[can])}
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["dsir_bits"],
+                                pa.scalar(b_star, pa.int64()))
+        t = batch.filter(keep)
+        v = t["dsir_bits"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64)
+              % num_buckets).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bk, pa.int64()))
+
+    survivors = dsr.map_batches(prefilter,
+                                batch_format="pyarrow").materialize()
+
+    def emit(tbl: pa.Table, _bm=base_map, _budget=budget) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _BUDGET_OUT_SCHEMA.empty_table()
+        b = tbl["dsir_bits"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        nt = tbl["n_tokens"].to_numpy(zero_copy_only=False)
+        ordr = np.lexsort((d, -b))
+        b, d, nt = b[ordr], d[ordr], nt[ordr]
+        # per-score cumsum: global cumsum minus each score run's start
+        cum = np.cumsum(nt)
+        run_start = np.r_[True, b[1:] != b[:-1]]
+        run_base0 = cum[np.flatnonzero(run_start)] - \
+            nt[np.flatnonzero(run_start)]
+        local = cum - np.repeat(run_base0,
+                                np.diff(np.r_[np.flatnonzero(run_start),
+                                              len(b)]))
+        glob = local + np.array([_bm[int(x)] for x in
+                                 b[np.flatnonzero(run_start)]],
+                                np.int64).repeat(
+            np.diff(np.r_[np.flatnonzero(run_start), len(b)]))
+        keep = glob <= _budget
+        return pa.table({
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "n_tokens": pa.array(nt[keep], pa.int64()),
+            "dsir_bits": pa.array(b[keep], pa.int64()),
+            "cum_tokens": pa.array(glob[keep], pa.int64()),
+        })
+
+    out = scatter_apply_by_value(
+        survivors, "_bucket", num_buckets, emit,
+        empty_result=_BUDGET_OUT_SCHEMA.empty_table())
+    return _collect(out, _BUDGET_OUT_SCHEMA)
+
+
+def _budget_selection_sorted(dsr, *, budget_frac: int = 10):
+    """The global-sort twin (the original plan): distributed sort on
+    (dsir_bits DESC, doc_id), per-block token sums folded on the
+    driver, exclusive scan for block bases, one cut pass. Kept as the
+    independent parity check for _budget_selection_threshold — the
+    sort is the one exchange the threshold plan exists to avoid."""
     import ray
 
+    s = dsr.sort(["dsir_bits", "doc_id"],
+                 descending=[True, False]).materialize()
     refs = s.to_arrow_refs()
 
     @ray.remote
@@ -6741,17 +6875,12 @@ def doc_budget_selection(sf_dir: str):
     sums = np.array(ray.get([blk_sum.remote(r) for r in refs]),
                     np.int64)
     bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
-    budget = int(sums.sum()) // 10
-
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("n_tokens", pa.int64()),
-                            ("dsir_bits", pa.int64()),
-                            ("cum_tokens", pa.int64())])
+    budget = int(sums.sum()) // budget_frac
 
     @ray.remote
     def cut(tbl: pa.Table, base: int) -> pa.Table:
         if tbl.num_rows == 0:
-            return out_schema.empty_table()
+            return _BUDGET_OUT_SCHEMA.empty_table()
         nt = tbl["n_tokens"].to_numpy(zero_copy_only=False)
         cum = base + np.cumsum(nt)
         keep = cum <= budget
@@ -6760,12 +6889,13 @@ def doc_budget_selection(sf_dir: str):
             "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
             "dsir_bits": t["dsir_bits"],
             "cum_tokens": pa.array(cum[keep], pa.int64()),
-        }).cast(out_schema)
+        }).cast(_BUDGET_OUT_SCHEMA)
 
     import ray.data as rd
 
     parts = [cut.remote(r, int(b)) for r, b in zip(refs, bases)]
-    return _collect(rd.from_arrow_refs(parts).materialize(), out_schema)
+    return _collect(rd.from_arrow_refs(parts).materialize(),
+                    _BUDGET_OUT_SCHEMA)
 
 
 ORACLE_SQL["doc_budget_selection"] = \
@@ -6945,14 +7075,24 @@ def incremental_neardup(sf_dir: str):
     round A ingests the even-doc_id half into a fresh store
     (stages/incremental.ingest_near_dup — LSH band index + compact
     shingle shards, algo-stamped like the exact store), round B
-    ingests the odd half and must flag exactly the odd docs whose
-    EXACT word-3-gram jaccard vs some even doc reaches 0.8 (banding
-    proposes, exact verification decides — so the approximate index
-    can never change the answer, only the candidate count). DuckDB
-    recomputes the cross-half jaccard from scratch. reingest_all_dup
-    replays round B against the now-updated store: every doc must come
-    back dup-of-prior (each matches its own stored copy at jaccard 1)
-    and zero novel rows append — the crash-idempotence contract."""
+    ingests the odd half and must flag the odd docs whose EXACT
+    word-3-gram jaccard vs some even doc reaches 0.8. PRECISION is
+    exact (banding proposes, exact jaccard verification decides —
+    no false flag is possible); RECALL is bounded by the banding:
+    a true pair at jaccard j collides in no band with probability
+    (1 - j^r)^b = (1 - j^4)^32 ≈ 4.8e-8 at j = 0.8 (identical docs
+    collide deterministically — equal shingle sets give equal
+    signatures), so the engine's flag set is a ⊆ of the oracle's
+    with per-pair miss probability < 1e-7. The oracle row's equality
+    check is therefore a deterministic regression pin for the
+    driver's fixed corpus (hash functions are fixed: it cannot flap)
+    — on an adversarial corpus the honest contract is engine <=
+    oracle within that bound. DuckDB recomputes the cross-half
+    jaccard from scratch. reingest_all_dup replays round B against
+    the now-updated store: every doc must come back dup-of-prior
+    (each matches its own stored copy at jaccard 1, a deterministic
+    collision) and zero novel rows append — the crash-idempotence
+    contract."""
     import shutil
     import tempfile
 

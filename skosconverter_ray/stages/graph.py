@@ -614,7 +614,6 @@ def triangle_count(edges_ds, *, num_buckets: int = 16,
 
     Returns ``(n_triangles, n_edges)``.
     """
-    from ..functions.hashing import bucket_of
     from .joinutil import cogroup_join
     from .skew import bucket_aggregate
 
@@ -689,9 +688,14 @@ def triangle_count(edges_ds, *, num_buckets: int = 16,
     # packed key of their (normalized) closing edge. One bucket
     # cogroup on u; fully vectorized triangular expansion per group.
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", bucket_of(
-                pc.cast(batch["u"], pa.string()), num_buckets))
+        # int mix, not bucket_of(cast-to-string): co-location by u is
+        # all the wedge expansion needs, and hashing millions of ids
+        # as strings costs more than the exchange (round 5)
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64)
+              % num_buckets).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(bk, pa.int32()))
 
     def wedges(group: pa.Table) -> pa.Table:
         u = group["u"].to_numpy(zero_copy_only=False)
@@ -714,25 +718,38 @@ def triangle_count(edges_ds, *, num_buckets: int = 16,
         lo, hi = np.minimum(x, y), np.maximum(x, y)
         return pa.table({"key": (lo << _SHIFT) | hi})
 
-    cand = (oriented.map_batches(tag, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(lambda g: wedges(g.drop_columns(["_bucket"])),
-                        batch_format="pyarrow"))
-    # wedge multiplicity per closing-edge key (distinct u's can close
-    # through the same edge — each is its own triangle)
-    cand_counts = bucket_aggregate(cand, ["key"],
-                                   [("count", None, "n_wedge")],
-                                   num_buckets=num_buckets)
-    closed = cogroup_join(
-        cand_counts, edges, left_on="key", right_on="key",
-        join_type="left semi", num_buckets=num_buckets,
-        left_schema=pa.schema([("key", pa.int64()),
-                               ("n_wedge", pa.int64())]),
-        right_schema=pa.schema([("key", pa.int64())]))
+    from .shardutil import cogroup_scatter, scatter_apply_by_value
+
+    wedge_schema = pa.schema([("key", pa.int64())])
+    cand = scatter_apply_by_value(
+        oriented.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", num_buckets,
+        lambda g: wedges(g.drop_columns(["_bucket"])),
+        empty_result=wedge_schema.empty_table())
+
+    # close wedges against the edge set in ONE cogroup: each bucket
+    # counts its wedge rows whose closing-edge key exists (every
+    # closed wedge is one triangle — distinct u's closing through the
+    # same edge each count). Round 5: this replaces a per-key
+    # bucket_aggregate PLUS a semi join (two exchanges) with one; the
+    # driver folds num_buckets scalar counts, never key rows.
+    cnt_schema = pa.schema([("n", pa.int64())])
+
+    def close_count(w_tbl: pa.Table | None, e_tbl: pa.Table | None):
+        if w_tbl is None or e_tbl is None or not w_tbl.num_rows:
+            return cnt_schema.empty_table()
+        hit = pc.is_in(w_tbl["key"],
+                       value_set=e_tbl["key"].combine_chunks())
+        n = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    closed = cogroup_scatter(cand, "key", edges, "key", num_buckets,
+                             close_count,
+                             empty_result=cnt_schema.empty_table())
     n_tri = 0
     for b in closed.iter_batches(batch_format="pyarrow",
                                  batch_size=65536):
-        n_tri += pc.sum(b["n_wedge"]).as_py() or 0
+        n_tri += pc.sum(b["n"]).as_py() or 0
     return int(n_tri), int(n_edges)
 
 

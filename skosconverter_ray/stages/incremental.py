@@ -52,31 +52,75 @@ class StoreAlgoMismatch(RuntimeError):
     incomparable. Rebuild the store (re-ingest) or pin the library."""
 
 
-def _check_shard_algo(path: str) -> None:
+class ShardStore:
+    """Shared core of BOTH incremental stores (round 5 — the exact
+    fingerprint store and the near-dup LSH store previously carried
+    parallel shard-listing / stamp-check / write code): an append-only
+    directory of parquet shards, each stamped in its schema metadata
+    with the signature-algorithm identity that wrote it. Reads REFUSE
+    any shard stamped by a different identity (mismatch_exc) instead
+    of silently merging incomparable identities; writes are atomic
+    (tmp + rename) so a crashed append never leaves a readable partial
+    shard. Shard names are uuid-fresh: concurrent/crashed appends can
+    only ever add overlapping rows, which consumers dedup."""
+
+    def __init__(self, root: str, meta_key: bytes, algo: str,
+                 mismatch_exc=StoreAlgoMismatch):
+        self.root = root
+        self.meta_key = meta_key
+        self.algo = algo
+        self.exc = mismatch_exc
+
+    def _check(self, path: str) -> None:
+        meta = pq.read_schema(path).metadata or {}
+        got = meta.get(self.meta_key, b"<unstamped>").decode()
+        if got != self.algo:
+            raise self.exc(
+                f"shard {path} was written under algo '{got}' but "
+                f"this runtime computes '{self.algo}'; cross-run "
+                "identities would silently disagree — rebuild the "
+                "store")
+
+    def shard_paths(self, kind: str | None = None) -> list[str]:
+        d = self.root if kind is None else os.path.join(self.root, kind)
+        if not os.path.isdir(d):
+            return []
+        out = [os.path.join(d, f) for f in sorted(os.listdir(d))
+               if f.endswith(".parquet")]
+        for p in out:
+            self._check(p)
+        return out
+
+    def num_rows(self, kind: str | None = None) -> int:
+        """Total stored rows from parquet FOOTERS — no data read."""
+        return sum(pq.read_metadata(p).num_rows
+                   for p in self.shard_paths(kind))
+
+    def write(self, tbl: pa.Table, kind: str | None = None) -> str:
+        d = self.root if kind is None else os.path.join(self.root, kind)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"shard-{uuid.uuid4().hex}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl.replace_schema_metadata(
+            {self.meta_key: self.algo.encode()}), tmp)
+        os.rename(tmp, path)
+        return path
+
+
+def _fp_store(store_dir: str) -> ShardStore:
     from ..functions.hashing import content_hash_algo
 
-    meta = pq.read_schema(path).metadata or {}
-    got = meta.get(_ALGO_META, b"<unstamped>").decode()
-    want = content_hash_algo()
-    if got != want:
-        raise StoreAlgoMismatch(
-            f"fingerprint shard {path} was written with hash algo "
-            f"'{got}' but this runtime computes '{want}'; cross-run "
-            f"identities would silently disagree — rebuild the store")
+    return ShardStore(store_dir, _ALGO_META, content_hash_algo(),
+                      StoreAlgoMismatch)
 
 
 def load_store(store_dir: str) -> np.ndarray:
     """All fingerprint shards -> sorted unique int64 hash array.
     Raises StoreAlgoMismatch if any shard's stamped hash algorithm
     differs from the running one."""
-    if not os.path.isdir(store_dir):
-        return np.empty(0, np.int64)
-    parts = [os.path.join(store_dir, f) for f in sorted(os.listdir(store_dir))
-             if f.endswith(".parquet")]
+    parts = _fp_store(store_dir).shard_paths()
     if not parts:
         return np.empty(0, np.int64)
-    for p in parts:
-        _check_shard_algo(p)
     tabs = [pq.read_table(p, columns=["h"]) for p in parts]
     hs = pa.concat_tables(tabs)["h"].to_numpy(zero_copy_only=False)
     return np.unique(hs)
@@ -125,13 +169,8 @@ def append_fingerprints(new_ds, store_dir: str) -> str:
         hs.append(b["_h"].to_numpy(zero_copy_only=False))
     uniq = (np.unique(np.concatenate(hs)) if hs
             else np.empty(0, np.int64))
-    from ..functions.hashing import content_hash_algo
-
-    path = os.path.join(store_dir, f"shard-{uuid.uuid4().hex}.parquet")
-    tbl = pa.table({"h": pa.array(uniq, pa.int64())}).replace_schema_metadata(
-        {_ALGO_META: content_hash_algo().encode()})
-    pq.write_table(tbl, path)
-    return path
+    return _fp_store(store_dir).write(
+        pa.table({"h": pa.array(uniq, pa.int64())}))
 
 
 def ingest_round(docs_ds, store_dir: str, *, text_col: str = "text"):
@@ -167,35 +206,17 @@ class NearDupStoreAlgoMismatch(RuntimeError):
     pass
 
 
-def _nd_check(path: str) -> None:
-    meta = pq.read_schema(path).metadata or {}
-    got = meta.get(_ND_META, b"<unstamped>").decode()
-    if got != _nd_algo():
-        raise NearDupStoreAlgoMismatch(
-            f"near-dup shard {path} written under '{got}' but this "
-            f"runtime computes '{_nd_algo()}' — rebuild the store")
+def _nd_store(store_dir: str) -> ShardStore:
+    return ShardStore(store_dir, _ND_META, _nd_algo(),
+                      NearDupStoreAlgoMismatch)
 
 
 def _nd_shards(store_dir: str, kind: str) -> list[str]:
-    d = os.path.join(store_dir, kind)
-    if not os.path.isdir(d):
-        return []
-    out = [os.path.join(d, f) for f in sorted(os.listdir(d))
-           if f.endswith(".parquet")]
-    for p in out:
-        _nd_check(p)
-    return out
+    return _nd_store(store_dir).shard_paths(kind)
 
 
 def _nd_write(tbl: pa.Table, store_dir: str, kind: str) -> str:
-    d = os.path.join(store_dir, kind)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"shard-{uuid.uuid4().hex}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(
-        tbl.replace_schema_metadata({_ND_META: _nd_algo().encode()}), tmp)
-    os.rename(tmp, path)
-    return path
+    return _nd_store(store_dir).write(tbl, kind)
 
 
 def ingest_near_dup(docs_ds, store_dir: str, *, text_col: str = "text",
@@ -206,8 +227,12 @@ def ingest_near_dup(docs_ds, store_dir: str, *, text_col: str = "text",
     A doc is ``dup_of_prior`` when its EXACT word-3-gram jaccard vs
     any PREVIOUSLY stored doc reaches ``threshold`` (LSH banding only
     proposes candidates; every flag is exact-verified — same
-    precision contract as the in-run pipeline). Novel docs' band
-    index rows and compact shingle blobs append as new shards.
+    precision contract as the in-run pipeline). Recall is bounded by
+    the banding: a true pair at jaccard j is proposed in no band with
+    probability (1 - j^4)^32 (≈ 4.8e-8 at j = 0.8; identical docs
+    collide deterministically), so flags are a ⊆ of the exact answer
+    within that bound — never a superset. Novel docs' band index rows
+    and compact shingle blobs append as new shards.
 
     Scale shape: the stored index is corpus-sized, so candidates come
     from ONE bucket-cogroup join (band,key) new-vs-stored — never a

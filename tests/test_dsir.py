@@ -61,3 +61,30 @@ def test_dsir_matches_sequential_oracle_and_selects_by_text(
     # target-vocab docs selected regardless of tag; cooking docs not
     assert {0, 1, 4} <= sel
     assert not sel & {2, 3, 5}
+
+def test_budget_threshold_matches_sorted_plan(ray_session):
+    """The histogram-threshold budget cut must select the same docs
+    with the same cum_tokens as the global-sort plan, across tie-heavy
+    and skewed score distributions (round 5 — the threshold plan
+    replaced the corpus-wide sort in doc_budget_selection)."""
+    import numpy as np
+    import ray.data as rd
+
+    from skosconverter_ray.queries import (_budget_selection_sorted,
+                                           _budget_selection_threshold)
+
+    rng = np.random.default_rng(11)
+    for trial, (n, n_scores) in enumerate([(500, 7), (800, 200),
+                                           (300, 1)]):
+        dsr = rd.from_arrow(pa.table({
+            "doc_id": pa.array(rng.permutation(n), pa.int64()),
+            "n_tokens": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "dsir_bits": pa.array(
+                rng.integers(-n_scores, n_scores + 1, n), pa.int64()),
+        })).repartition(6).materialize()
+        a = _budget_selection_threshold(dsr).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = _budget_selection_sorted(dsr).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b), f"trial {trial}: threshold != sorted"
+        assert len(a) > 0, f"trial {trial}: empty selection"

@@ -160,3 +160,32 @@ def test_near_dup_ingest_distributed_verify(ray_session, tmp_path,
            for b in ingest_near_dup(_nd_docs(_ND_B), store)
            .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
     assert fb2 == {1: True, 3: True}
+
+def test_shard_store_core(tmp_path):
+    """The shared ShardStore core behind BOTH incremental stores:
+    stamped atomic writes, footer-only row counts, loud refusal of
+    foreign or unstamped shards."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from skosconverter_ray.stages.incremental import (ShardStore,
+                                                      StoreAlgoMismatch)
+
+    st = ShardStore(str(tmp_path), b"algo_key", "algo-v1")
+    t = pa.table({"h": pa.array([1, 2, 3], pa.int64())})
+    p1 = st.write(t)
+    p2 = st.write(t, kind="sub")
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert st.num_rows() == 3 and st.num_rows("sub") == 3
+    assert st.shard_paths() == [p1] and st.shard_paths("sub") == [p2]
+    # a shard stamped by another identity is refused on every read op
+    other = ShardStore(str(tmp_path), b"algo_key", "algo-v2")
+    with pytest.raises(StoreAlgoMismatch, match="rebuild"):
+        other.shard_paths()
+    # unstamped legacy shards are refused too
+    pq.write_table(t, str(tmp_path / "shard-legacy.parquet"))
+    with pytest.raises(StoreAlgoMismatch, match="unstamped"):
+        st.num_rows()
