@@ -37,6 +37,22 @@ def _q(name: str, sql: str | None = None):
 _TINY_ROWS = 32768
 
 
+def _pool_width(cap: int = 32) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the SESSION, not a
+    constant: a (1, 4) pool left 12 of 16 cores idle in the round-5
+    curation scaling trace (the pool, not the data, was the width
+    ceiling), while the same (1, cpus) bounds still collapse to a
+    small pool on a narrow box. ``cap`` bounds per-actor state
+    replicas for stages whose per-actor cache matters."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, min(cap, cpus)))
+
+
 def _meta_rows(sf_dir: str, table: str) -> int:
     """Row count from the parquet footer — never touches data pages."""
     import pyarrow.parquet as pq
@@ -559,7 +575,7 @@ def doc_bpe_encode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     enc = ds.map_batches(
         BpeEncoder, fn_constructor_kwargs={"merges": merges},
-        concurrency=(1, 4), batch_size=512,
+        concurrency=_pool_width(), batch_size=512,
         batch_format="pyarrow").materialize()
 
     tot_words = tot_sub = 0
@@ -1632,8 +1648,6 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None,
     degenerates to (nearly) complete (at sf0.1 every supplier pair
     shares a part — 500k edges, K_1000), and any graph algorithm on a
     complete graph measures nothing."""
-    from .functions.hashing import bucket_of
-    from .stages.shardutil import scatter_apply_by_value
     from .stages.skew import bucket_aggregate
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -1653,15 +1667,10 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None,
         ["p", "s"], [("count", None, "_c")],
         num_buckets=16).drop_columns(["_c"])
 
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", bucket_of(pc.cast(batch["p"], pa.string()), 16))
-
     def part_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        group = group.drop_columns(["_bucket"])
         p = group["p"].to_numpy(zero_copy_only=False)
         s = group["s"].to_numpy(zero_copy_only=False)
         order = np.lexsort((s, p))
@@ -1679,9 +1688,13 @@ def _copart_supplier_pairs(sf_dir: str, part_mod: int | None = None,
                               - np.repeat(np.cumsum(cnt) - cnt, cnt))
         return pa.table({"a": s_s[first], "b": s_s[second]})
 
-    pairs = scatter_apply_by_value(
-        ps.map_batches(tag, batch_format="pyarrow").materialize(),
-        "_bucket", 16, part_pairs)
+    # bucket_aggregate keyed its reduce on hash(p) (bucket_key
+    # defaults to keys[0]), so every row of one part already sits in
+    # ONE of its output blocks — the pair expansion maps whole blocks
+    # (batch_size=None) with ZERO additional exchange (round 5: this
+    # replaced a string-hash tag plus a second task scatter).
+    pairs = ps.map_batches(part_pairs, batch_format="pyarrow",
+                           batch_size=None)
     if min_weight is None:
         return pairs
     weighted = bucket_aggregate(pairs, ["a", "b"],
@@ -3203,7 +3216,11 @@ def doc_model_quality(sf_dir: str):
     from .models import QualityScorer
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(QualityScorer, concurrency=(1, 4),
+    # elastic TASKS, not a capped pool: the scorer's state is four
+    # int weights (broadcast-cheap), so the instance ships in the
+    # task closure and every CPU stays usable — the linker's
+    # measured lesson (stages/linker.link_documents docstring)
+    out = ds.map_batches(QualityScorer(),
                          batch_size=1024, batch_format="pyarrow")
     return _collect(out, pa.schema([("doc_id", pa.int64()),
                                     ("margin_milli", pa.int64()),
@@ -4733,7 +4750,7 @@ def media_features(sf_dir: str):
     store_ref = ray.put(build_media_store(docs_tbl))
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
-    feats = extract_media_features(docs, concurrency=(1, 2), batch_size=64,
+    feats = extract_media_features(docs, concurrency=_pool_width(8), batch_size=64,
                                    fake=False, store_ref=store_ref,
                                    kinds=("image", "audio"))
 
@@ -4790,7 +4807,7 @@ def media_features_summary(sf_dir: str):
     store_ref = ray.put(build_media_store(docs_tbl))
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
-    feats = extract_media_features(docs, concurrency=(1, 2), batch_size=64,
+    feats = extract_media_features(docs, concurrency=_pool_width(8), batch_size=64,
                                    fake=False, store_ref=store_ref,
                                    kinds=("image", "audio"))
     per_ref = bucket_aggregate(
@@ -4839,7 +4856,7 @@ def media_thumbnails(sf_dir: str):
     docs = corpus.documents_dataset(400, voc, seed=42,
                                     override_num_blocks=8)
     thumbs = resize_images(docs, out_h=8, out_w=8, store_ref=store_ref,
-                           concurrency=(1, 2), batch_size=64)
+                           concurrency=_pool_width(8), batch_size=64)
     per_ref = bucket_aggregate(
         thumbs.select_columns(["src_h", "src_w", "media_ref",
                                "pixel_sum"]),
@@ -7220,8 +7237,10 @@ def curation_v2_pipeline(sf_dir: str):
             return pa.table({"doc_id": batch["doc_id"],
                              "lang": batch["lang"]}).filter(pa.array(ok))
 
+    # elastic tasks (weights are four ints — broadcast-cheap; the
+    # capped pool was the width ceiling in the scaling trace)
     base = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
-        .map_batches(Gate23, concurrency=(1, 4), batch_size=1024,
+        .map_batches(Gate23(), batch_size=1024,
                      batch_format="pyarrow")
     base_schema = pa.schema([("doc_id", pa.int64()),
                              ("lang", pa.string())])

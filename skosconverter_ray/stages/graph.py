@@ -1034,6 +1034,10 @@ class _KCoreShard:
         self.b, self.B, self.k = bucket, n_buckets, k
 
     def load(self, edge_refs) -> int:
+        """Arrow-native loader (round 5 — the object-dtype rewrite
+        that _TreeShard/_CCShard got in round 4): neighbor strings
+        live ONCE in a local dictionary; adjacency, per-edge target
+        buckets and every emit wave work on int32/int64 codes."""
         import ray
 
         from ..functions.hashing import bucket_of
@@ -1043,25 +1047,31 @@ class _KCoreShard:
                  else pa.table({"src": pa.array([], pa.string()),
                                 "dst": pa.array([], pa.string())}))
         src = edges["src"].combine_chunks()
-        self.nodes = pa.array(
-            np.unique(src.to_numpy(zero_copy_only=False)), pa.string())
+        uniq = pc.unique(src)
+        self.nodes = uniq.take(pc.sort_indices(uniq))
         n = len(self.nodes)
         si = pc.index_in(src, value_set=self.nodes) \
             .to_numpy(zero_copy_only=False).astype(np.int64) \
             if edges.num_rows else np.empty(0, np.int64)
-        dst = edges["dst"].combine_chunks()
-        dst_np = np.asarray(dst.to_pylist(), dtype=object)
+        denc = edges["dst"].combine_chunks().dictionary_encode()
+        self.d_dict = denc.dictionary
+        d_codes = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if edges.num_rows else \
+            np.empty(0, np.int64)
         order = np.argsort(si, kind="stable")
-        self.s_s, self.d_s = si[order], dst_np[order]
+        self.s_s, self.d_c = si[order], d_codes[order]
         self.starts = np.searchsorted(self.s_s, np.arange(n))
         self.ends = np.searchsorted(self.s_s, np.arange(n),
                                     side="right")
         self.deg = np.bincount(si, minlength=n) if n else \
             np.zeros(0, np.int64)
         self.alive = np.ones(n, bool)
-        self.dbk = (bucket_of(pa.array(self.d_s.tolist(), pa.string()),
-                              self.B).to_numpy(zero_copy_only=False)
-                    if len(self.d_s) else np.empty(0, np.int32))
+        # one hash per DISTINCT neighbor, broadcast to edges by code
+        dict_bk = (bucket_of(self.d_dict, self.B)
+                   .to_numpy(zero_copy_only=False)
+                   if len(self.d_dict) else np.empty(0, np.int32))
+        self.dbk = dict_bk[self.d_c] if len(self.d_c) else \
+            np.empty(0, np.int32)
         return n
 
     def step_emit(self):
@@ -1073,17 +1083,18 @@ class _KCoreShard:
         if dying.size:
             self.alive[dying] = False
             parts = [slice(self.starts[u], self.ends[u]) for u in dying]
-            nbrs = np.concatenate([self.d_s[p] for p in parts]) \
-                if parts else np.empty(0, object)
+            nbrs = np.concatenate([self.d_c[p] for p in parts]) \
+                if parts else np.empty(0, np.int64)
             bks = np.concatenate([self.dbk[p] for p in parts]) \
                 if parts else np.empty(0, np.int32)
             for t in range(self.B):
                 sel = nbrs[bks == t]
                 if sel.size == 0:
                     continue
-                uniq, cnt = np.unique(sel, return_counts=True)
+                uniq_c, cnt = np.unique(sel, return_counts=True)
                 refs[t] = ray.put(pa.table({
-                    "node": pa.array(uniq.tolist(), pa.string()),
+                    "node": self.d_dict.take(
+                        pa.array(uniq_c, pa.int64())),
                     "dec": pa.array(cnt, pa.int64())}))
         return int(dying.size), refs
 
