@@ -90,6 +90,9 @@ HEADLINE = [
     "graph_kcore",
     "doc_budget_selection",
     "events_decayed_totals",
+    # round 5 additions
+    "doc_bm25_topk",
+    "events_interval_coverage",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

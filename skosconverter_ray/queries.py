@@ -2345,6 +2345,156 @@ def doc_unigram_surprisal(sf_dir: str):
                                     ("surprisal_bits", pa.int64())]))
 
 
+# ---------------------------------------------------------------------------
+# Documents: BM25 retrieval top-k for a fixed query (hard-negative
+# mining / decontamination-by-retrieval / RAG relevance — exact
+# integer-rational scoring, so Ray and DuckDB agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "merge", "sort")
+
+
+def _bm25_sql() -> str:
+    """BM25(k1=1.2, b=0.75) in EXACT integer arithmetic. With
+    adl = (1000·T)//N (milli-avgdl, an exact integer both engines
+    compute identically), each term's contribution is the rational
+        idf_bits · (22·tf·adl·10^6) // (10·adl·tf + 3·adl + 9000·dl)
+    — the classic tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl)) scaled by
+    10·adl so numerator and denominator are integers (micro units;
+    every factor is doc-length-bounded, so int64 never overflows
+    regardless of corpus size), with idf_bits = floor(log2(N//df))+1
+    (length(bin(...)) — the same integer idf as doc_tfidf_top_terms;
+    float ln differs at the ULP between libm builds). Summing integer
+    micro-scores is reduction-order-free, so the engine's parallel
+    fold and DuckDB's serial sum cannot diverge."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    contrib = " + ".join(
+        f"""(CASE WHEN tf{i} = 0 THEN 0 ELSE
+             length(bin((SELECT n FROM stats)
+                        // greatest(1, (SELECT count(*) FROM d
+                                        WHERE tf{i} > 0))))
+             * ((22 * tf{i} * (SELECT adl FROM stats) * 1000000)
+                // (10 * (SELECT adl FROM stats) * tf{i}
+                    + 3 * (SELECT adl FROM stats) + 9000 * dl))
+             END)"""
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(w) AS dl,
+             {tf_cols}
+      FROM tok
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             (1000 * sum(dl)) // count(*) AS adl
+      FROM d
+    )
+    SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro FROM (
+      SELECT doc_id, {contrib} AS score_micro FROM d
+    ) WHERE score_micro > 0
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """
+
+
+@_q("doc_bm25_topk", _bm25_sql())
+def doc_bm25_topk(sf_dir: str):
+    """Top-20 documents by BM25 for the fixed query {hash join merge
+    sort} (see _bm25_sql for the exact-integer scoring contract).
+
+    Shape: ONE tokenize pass builds the query-term forward index
+    (doc_id, dl, tf per query term — a handful of ints per doc,
+    pinned); corpus stats (N, Σdl, df per term) fold on the driver as
+    per-block scalars from those SAME pinned blocks (no exchange);
+    one stateless scoring map; local top-k per block then one
+    bounded driver merge of num_blocks × 20 rows. Zero all-to-all
+    exchanges — retrieval scoring against a fixed query is
+    embarrassingly parallel and should be shaped that way."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = 20
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        exprs = [pl.col("w").list.len().cast(pl.Int64).alias("dl")]
+        exprs += [pl.col("w").list.count_matches(t).cast(pl.Int64)
+                  .alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
+        out = (df.with_columns(
+            pl.col("text").str.to_lowercase()
+              .str.extract_all(r"[a-z0-9]+").alias("w"))
+            .select([pl.col("doc_id"), *exprs]))
+        return out.to_arrow().cast(pa.schema(
+            [("doc_id", pa.int64()), ("dl", pa.int64())]
+            + [(f"tf{i}", pa.int64())
+               for i in range(len(_BM25_TERMS))]))
+
+    fwd_ds = ds.map_batches(fwd, batch_format="pyarrow",
+                            batch_size=2048).materialize()
+
+    # corpus stats: per-block partial scalars -> driver fold
+    n_docs = 0
+    tot_dl = 0
+    dfs = np.zeros(len(_BM25_TERMS), np.int64)
+    for b in fwd_ds.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([t.num_rows], pa.int64()),
+                 "s": pa.array([int(pc.sum(t["dl"]).as_py() or 0)],
+                               pa.int64()),
+                 **{f"d{i}": pa.array(
+                     [int(pc.sum(pc.cast(pc.greater(
+                         t[f"tf{i}"], 0), pa.int64())).as_py() or 0)],
+                     pa.int64())
+                    for i in range(len(_BM25_TERMS))}}),
+            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n_docs += pc.sum(b["n"]).as_py() or 0
+        tot_dl += pc.sum(b["s"]).as_py() or 0
+        for i in range(len(_BM25_TERMS)):
+            dfs[i] += pc.sum(b[f"d{i}"]).as_py() or 0
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micro": pa.array([], pa.int64())})
+    adl = (1000 * tot_dl) // n_docs
+    from .functions.hashing import bit_length_u64
+
+    idf = bit_length_u64(
+        np.uint64(n_docs) // np.maximum(dfs, 1).astype(np.uint64))
+
+    def score_topk(batch: pa.Table, _adl=adl, _idf=idf,
+                   _k=k) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        s = np.zeros(batch.num_rows, np.int64)
+        for i in range(len(_BM25_TERMS)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False)
+            s += _idf[i] * ((22 * tf * _adl * 1_000_000)
+                            // (10 * _adl * tf + 3 * _adl + 9000 * dl))
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = s > 0
+        doc, s = doc[keep], s[keep]
+        ordr = np.lexsort((doc, -s))[:_k]
+        return pa.table({"doc_id": pa.array(doc[ordr], pa.int64()),
+                         "score_micro": pa.array(s[ordr], pa.int64())})
+
+    # local top-k per pinned block, bounded driver merge
+    parts = [b for b in fwd_ds.map_batches(
+        score_topk, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")]
+    allc = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "score_micro": pa.array([], pa.int64())})
+    doc = allc["doc_id"].to_numpy(zero_copy_only=False)
+    s = allc["score_micro"].to_numpy(zero_copy_only=False)
+    ordr = np.lexsort((doc, -s))[:k]
+    return pa.table({"doc_id": pa.array(doc[ordr], pa.int64()),
+                     "score_micro": pa.array(s[ordr], pa.int64())})
+
+
 @_q(
     "graph_checkpoint_resume",
     r"""
@@ -4958,6 +5108,109 @@ def events_sessions(sf_dir: str):
     """Gap-based sessionization (stages/window.py): user-bucketed
     cogroups, vectorized lexsort + segment-boundary session numbering,
     reduceat aggregates. 4-hour gap."""
+    return _events_sessions_impl(sf_dir)
+
+
+@_q(
+    "events_interval_coverage",
+    """
+    WITH e AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM m
+    ),
+    agg AS (
+      SELECT user_id, island, min(s) AS st, max(e) AS en
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT)
+             AS covered_us
+    FROM agg GROUP BY user_id
+    """,
+)
+def events_interval_coverage(sf_dir: str):
+    """Union-of-intervals coverage per user (gaps-and-islands): every
+    event opens a 300-second activity window; overlapping/adjacent
+    windows merge into islands, and the answer is each user's island
+    count plus total covered MICROSECONDS — time-on-site / uptime /
+    dwell accounting, the interval-union shape that naive
+    sum-of-durations double-counts. Exact integer arithmetic
+    throughout (timestamps are int64 µs).
+
+    Shape: ONE user-keyed task scatter; inside a bucket the sweep is
+    vectorized polars — sort by (user, start), per-user running max
+    of window ends (cum_max over the user partition), an island
+    starts where start > previous running max, then two group_bys
+    (per-island extent, per-user fold). Nothing leaves the bucket but
+    the per-user result rows."""
+    from .stages.shardutil import scatter_apply_by_value
+
+    W_US = 300_000_000
+    nb = 16
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_islands", pa.int64()),
+                            ("covered_us", pa.int64())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64) % nb) \
+            .astype(np.int32)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pa.array(ts, pa.int64()),
+            "_bucket": pa.array(bk, pa.int32()),
+        })
+
+    def cover(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(tbl.select(["user_id", "ts_us"]))
+        df = (df.sort(["user_id", "ts_us"])
+              .with_columns(e=pl.col("ts_us") + W_US)
+              .with_columns(prev_max=pl.col("e").cum_max().shift(1)
+                            .over("user_id"))
+              .with_columns(start=(pl.col("prev_max").is_null()
+                                   | (pl.col("ts_us")
+                                      > pl.col("prev_max"))))
+              .with_columns(island=pl.col("start").cast(pl.Int64)
+                            .cum_sum().over("user_id")))
+        agg = df.group_by(["user_id", "island"]).agg(
+            st=pl.col("ts_us").min(), en=pl.col("e").max())
+        out = agg.group_by("user_id").agg(
+            n_islands=pl.len().cast(pl.Int64),
+            covered_us=(pl.col("en") - pl.col("st")).sum())
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = scatter_apply_by_value(
+        ds.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", nb, cover, empty_result=out_schema.empty_table())
+    return _collect(out, out_schema)
+
+
+def _events_sessions_impl(sf_dir: str):
     from .stages.window import sessionize
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
