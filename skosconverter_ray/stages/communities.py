@@ -103,6 +103,11 @@ class _LPAShard:
         self.b, self.B = bucket, n_buckets
 
     def load(self, src_edge_refs, dst_edge_refs) -> int:
+        """Arrow-native loader (round 5 — same treatment as
+        _KCoreShard): edge destinations live once in a local
+        dictionary; routing and per-wave vote aggregation work on
+        int64 codes, and the only string materialization per wave is
+        one dictionary take over the DISTINCT (dst, label) winners."""
         import ray
 
         from ..functions.hashing import bucket_of
@@ -115,19 +120,25 @@ class _LPAShard:
         local_dsts = (pa.concat_tables(dtbls)["dst"].combine_chunks()
                       if dtbls else pa.array([], pa.string()))
         src_col = edges["src"].combine_chunks()
-        self.nodes = np.unique(np.concatenate((
-            np.asarray(src_col.to_pylist(), dtype=object),
-            np.asarray(local_dsts.to_pylist(), dtype=object))))
-        nodes_pa = pa.array(self.nodes.tolist(), pa.string())
+        uniq = pc.unique(pa.chunked_array([src_col, local_dsts]))
+        nodes_pa = uniq.take(pc.sort_indices(uniq))
+        self.nodes = np.asarray(nodes_pa.to_pylist(), dtype=object)
+        self.nodes_pa = nodes_pa
         src_idx = pc.index_in(src_col, value_set=nodes_pa)
         if edges.num_rows and pc.any(pc.is_null(src_idx)).as_py():
             raise AssertionError("edge src outside its label shard")
         self.src_idx = src_idx.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        self.dst = np.asarray(edges["dst"].to_pylist(), dtype=object)
-        dbk = bucket_of(edges["dst"].combine_chunks(), self.B) \
-            .to_numpy(zero_copy_only=False) if edges.num_rows \
-            else np.empty(0, np.int32)
+        denc = edges["dst"].combine_chunks().dictionary_encode()
+        self.d_dict = denc.dictionary
+        self.d_c = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if edges.num_rows else \
+            np.empty(0, np.int64)
+        dict_bk = (bucket_of(self.d_dict, self.B)
+                   .to_numpy(zero_copy_only=False)
+                   if len(self.d_dict) else np.empty(0, np.int32))
+        dbk = dict_bk[self.d_c] if len(self.d_c) else \
+            np.empty(0, np.int32)
         self.route = [np.flatnonzero(dbk == t) for t in range(self.B)]
         self.labels = self.nodes.copy()  # own id
         return len(self.nodes)
@@ -135,23 +146,28 @@ class _LPAShard:
     def emit(self):
         import ray
 
-        lbl_e = self.labels[self.src_idx]
+        # per-wave label dictionary: labels are node-id strings from a
+        # set that grows only by incoming winners, so encode ONCE per
+        # wave and aggregate votes on packed int keys
+        lbl_pa = pa.array(self.labels.tolist(), pa.string())
+        enc = lbl_pa.dictionary_encode()
+        l_dict = enc.dictionary
+        l_codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lbl_e = l_codes[self.src_idx]
+        L = np.int64(max(1, len(l_dict)))
         refs = []
         for sel in self.route:
             if sel.size == 0:
                 refs.append(None)
                 continue
-            d, l = self.dst[sel], lbl_e[sel]
-            order = np.lexsort((l, d))
-            d_s, l_s = d[order], l[order]
-            bound = np.r_[True,
-                          (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])]
-            starts = np.flatnonzero(bound)
-            cnts = np.diff(np.r_[starts, len(d_s)])
+            key = self.d_c[sel] * L + lbl_e[sel]
+            uk, cnt = np.unique(key, return_counts=True)
+            kd, kl = uk // L, uk % L
             refs.append(ray.put(pa.table({
-                "dst": pa.array(d_s[starts].tolist(), pa.string()),
-                "lbl": pa.array(l_s[starts].tolist(), pa.string()),
-                "cnt": pa.array(cnts, pa.int64())})))
+                "dst": self.d_dict.take(pa.array(kd, pa.int64())),
+                "lbl": l_dict.take(pa.array(kl, pa.int64())),
+                "cnt": pa.array(cnt, pa.int64())})))
         return refs
 
     def apply(self, msg_refs) -> int:
