@@ -71,3 +71,23 @@ def test_lpa_multiedge_and_oscillation_determinism(ray_session):
         assert got == seq
     odd = label_propagation_sequential(src, dst, n_iter=9)
     assert odd["y"] == "x"
+
+@pytest.mark.parametrize("engine", ["driver", "actors"])
+def test_lpa_unicode_ids_tie_rule(ray_session, engine):
+    """Non-ASCII node ids: the driver path's dictionary-code order
+    (UTF-8 byte order via pc.sort_indices) and the actor path's
+    Python-string min must pick the SAME community label — UTF-8
+    byte order equals code-point order by construction, and this
+    test pins it (round 5: the driver loaders moved from np.unique
+    over PyStr to sorted-dictionary int codes)."""
+    # clique of accented + CJK + plain ids (tie-break is the min id)
+    mem = ["zèbre", "Ωmega", "你好", "apfel", "Übel"]
+    src, dst = [], []
+    for i in range(len(mem)):
+        for j in range(i + 1, len(mem)):
+            src.append(mem[i])
+            dst.append(mem[j])
+    got = _run(_edges_ds(src, dst), engine)
+    seq = label_propagation_sequential(src, dst, n_iter=5)
+    assert got == seq
+    assert len(set(got.values())) == 1
