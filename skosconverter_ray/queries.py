@@ -53,6 +53,19 @@ def _pool_width(cap: int = 32) -> tuple[int, int]:
     return (1, max(2, min(cap, cpus)))
 
 
+def _minhash_partitions(sf_dir: str | None = None) -> int:
+    """Exchange width for the minhash banding/verify scatters: tiny
+    gate corpora keep a narrow exchange (per-bucket dispatch cost
+    dominates under ~20k docs — the sf0.001/sf0.01 lesson), larger
+    corpora get the session's CPU width so the two-exchange verify
+    cogroup is never parallelism-capped (round 5: a pinned 8 ran the
+    300k-doc curation trace at half the box's width)."""
+    rows = _meta_rows(sf_dir, "documents") if sf_dir else None
+    if rows is not None and rows <= 20_000:
+        return 8
+    return max(8, _pool_width()[1])
+
+
 def _meta_rows(sf_dir: str, table: str) -> int:
     """Row count from the parquet footer — never touches data pages."""
     import pyarrow.parquet as pq
@@ -1348,7 +1361,8 @@ def doc_dedup_minhash(sf_dir: str):
     from .stages.dedup import minhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8,
+                                   num_partitions=_minhash_partitions(sf_dir))
     return _collect(pairs, pa.schema([("doc_a", pa.int64()),
                                       ("doc_b", pa.int64()),
                                       ("jaccard", pa.float64())]))
@@ -3589,7 +3603,8 @@ def doc_dedup_clusters(sf_dir: str):
     from .stages.dedup import minhash_near_dup_pairs, neardup_clusters
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8,
+                                   num_partitions=_minhash_partitions(sf_dir))
     out = neardup_clusters(pairs)
     return _collect(out, pa.schema([("doc_id", pa.int64()),
                                     ("rep_id", pa.int64())]))
@@ -3666,7 +3681,8 @@ def _cluster_sample_ds(sf_dir: str):
 
     nb = _adaptive_buckets(sf_dir, "documents")
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, threshold=0.8, num_partitions=8)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8,
+                                   num_partitions=_minhash_partitions(sf_dir))
     members = neardup_clusters(pairs)
 
     docs = ds.select_columns(["doc_id"])
@@ -3845,7 +3861,8 @@ def curation_survivors(docs):
                                 batch_format="pyarrow"))
 
     # (2) near-dup non-representative members
-    pairs = minhash_near_dup_pairs(docs, threshold=0.8, num_partitions=8)
+    pairs = minhash_near_dup_pairs(docs, threshold=0.8,
+                                   num_partitions=_minhash_partitions())
     nd_losers = neardup_clusters(pairs).map_batches(
         lambda b: pa.table({"doc_id": pc.cast(
             b["doc_id"].filter(pc.not_equal(b["doc_id"], b["rep_id"])),
@@ -4067,7 +4084,8 @@ def doc_dedup_ngram_jaccard(sf_dir: str):
     from .stages.dedup import minhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, threshold=0.75, num_partitions=8)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.75,
+                                   num_partitions=_minhash_partitions(sf_dir))
     return _collect(pairs, pa.schema([("doc_a", pa.int64()),
                                       ("doc_b", pa.int64()),
                                       ("jaccard", pa.float64())]))
