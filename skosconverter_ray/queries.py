@@ -7490,7 +7490,6 @@ def curation_v2_pipeline(sf_dir: str):
     semi/inner joins; one final lang aggregate. Nothing corpus-sized
     ever lands on the driver."""
     from .models import QualityScorer, quality_features
-    from .stages.joinutil import cogroup_join
     from .stages.skew import bucket_aggregate
 
     nb = _adaptive_buckets(sf_dir, "documents")
@@ -7512,49 +7511,63 @@ def curation_v2_pipeline(sf_dir: str):
     # capped pool was the width ceiling in the scaling trace)
     base = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
         .map_batches(Gate23(), batch_size=1024,
-                     batch_format="pyarrow")
-    base_schema = pa.schema([("doc_id", pa.int64()),
-                             ("lang", pa.string())])
+                     batch_format="pyarrow").materialize()
 
     nd = _normalize_dedup_ds(sf_dir).map_batches(
         lambda b: pa.table({"nd_doc": b["doc_id"]}).filter(
             pc.equal(b["doc_id"], b["canonical_id"])),
-        batch_format="pyarrow")
-    s1 = cogroup_join(base, nd, left_on="doc_id", right_on="nd_doc",
-                      join_type="left semi", num_buckets=nb,
-                      left_schema=base_schema,
-                      right_schema=pa.schema([("nd_doc", pa.int64())]))
-
+        batch_format="pyarrow").materialize()
     dsr = _dsir_ds(sf_dir).map_batches(
         lambda b: pa.table({"ds_doc": b["doc_id"],
                             "n_tokens": b["n_tokens"]}).filter(
             pc.greater_equal(b["dsir_bits"],
                              pc.negate(b["n_tokens"]))),
-        batch_format="pyarrow")
-    s2 = cogroup_join(s1, dsr, left_on="doc_id", right_on="ds_doc",
-                      join_type="inner", num_buckets=nb,
-                      left_schema=base_schema,
-                      right_schema=pa.schema([("ds_doc", pa.int64()),
-                                              ("n_tokens", pa.int64())]))
-
+        batch_format="pyarrow").materialize()
     cs = _cluster_sample_ds(sf_dir).map_batches(
         lambda b: pa.table({"cs_doc": b["doc_id"]}).filter(b["kept"]),
-        batch_format="pyarrow")
-    s3 = cogroup_join(s2, cs, left_on="doc_id", right_on="cs_doc",
-                      join_type="left semi", num_buckets=nb,
-                      left_schema=pa.schema([("doc_id", pa.int64()),
-                                             ("lang", pa.string()),
-                                             ("n_tokens", pa.int64())]),
-                      right_schema=pa.schema([("cs_doc", pa.int64())]))
+        batch_format="pyarrow").materialize()
 
-    out = bucket_aggregate(
-        s3.map_batches(
-            lambda b: pa.table({"lang": b["lang"],
-                                "n_docs": np.ones(b.num_rows, np.int64),
-                                "n_tokens": b["n_tokens"]}),
-            batch_format="pyarrow"),
-        ["lang"], [("sum", "n_docs", "n_docs"),
-                   ("sum", "n_tokens", "n_tokens")], num_buckets=4)
+    # ONE 4-way doc-keyed cogroup (round 5 — was three sequential
+    # binary cogroup joins, i.e. three exchange barriers for a single
+    # co-partitioned intersection; the composition's fixed barrier
+    # floor, not data volume, capped its two-width scaling). The
+    # per-lang partials pre-aggregate inside each bucket, so the
+    # final exchange moves num_buckets × n_langs rows.
+    from .stages.shardutil import multiway_cogroup_scatter
+
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("n_tokens", pa.int64())])
+
+    def meet(base_t, nd_t, ds_t, cs_t):
+        if base_t is None or nd_t is None or ds_t is None \
+                or cs_t is None:
+            return part_schema.empty_table()
+        t = base_t.filter(pc.is_in(
+            base_t["doc_id"],
+            value_set=nd_t["nd_doc"].combine_chunks()))
+        t = t.join(ds_t.select(["ds_doc", "n_tokens"]),
+                   keys=["doc_id"], right_keys=["ds_doc"],
+                   join_type="inner")
+        t = t.filter(pc.is_in(
+            t["doc_id"], value_set=cs_t["cs_doc"].combine_chunks()))
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.group_by(["lang"]).aggregate([("doc_id", "count"),
+                                            ("n_tokens", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "n_docs": g["doc_id_count"],
+                         "n_tokens": g["n_tokens_sum"]}) \
+            .cast(part_schema)
+
+    partials = multiway_cogroup_scatter(
+        [(base, "doc_id"), (nd, "nd_doc"), (dsr, "ds_doc"),
+         (cs, "cs_doc")], nb, meet,
+        empty_result=part_schema.empty_table())
+    out = bucket_aggregate(partials, ["lang"],
+                           [("sum", "n_docs", "n_docs"),
+                            ("sum", "n_tokens", "n_tokens")],
+                           num_buckets=4)
     return _collect(out, pa.schema([("lang", pa.string()),
                                     ("n_docs", pa.int64()),
                                     ("n_tokens", pa.int64())]))

@@ -214,3 +214,74 @@ def cogroup_scatter(a_ds, a_key, b_ds, b_key, n_buckets: int, fn,
     a_cols, b_cols = _cols(a_ds, a_key), _cols(b_ds, b_key)
     return rd.from_arrow_refs(
         [gather.remote(a_cols[t], b_cols[t]) for t in range(B)])
+
+
+def multiway_cogroup_scatter(sides, n_buckets: int, fn,
+                             key_to_bucket=None,
+                             empty_result: pa.Table = None):
+    """N-ary task-level hash cogroup (round 5): ``fn(t0, …, tN-1)``
+    per bucket over ANY number of materialized sides, each given as
+    ``(dataset, key_column)``. The composition shape: k sequential
+    binary cogroup joins on ONE shared key pay k exchange barriers
+    for what is a single co-partitioned local join — this pays one.
+    Sides hash with the SAME bucket function (int mix for integer
+    keys, bucket_of otherwise), so co-location holds across all of
+    them; a side's table arrives as ``None`` in ``fn`` when its
+    bucket is empty. Same materialized-inputs contract as
+    cogroup_scatter."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_of
+
+    B = n_buckets
+    if key_to_bucket is None:
+        def key_to_bucket(values):
+            import numpy as np
+
+            if pa.types.is_integer(values.type):
+                v = values.to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                h = v * np.uint64(0x9E3779B97F4A7C15)
+                return ((h >> np.uint64(32)).astype(np.int64)
+                        % B).astype(np.int32)
+            if not pa.types.is_string(values.type):
+                values = pc.cast(values, pa.string())
+            return bucket_of(values, B).to_numpy(zero_copy_only=False)
+
+    @ray.remote(num_returns=B)
+    def split(tbl: pa.Table, key: str):
+        if tbl.num_rows == 0 or key not in tbl.column_names:
+            return tuple(None for _ in range(B)) if B > 1 else None
+        bk = key_to_bucket(tbl[key].combine_chunks())
+        parts = tuple(tbl.filter(pa.array(bk == t)) for t in range(B))
+        return parts if B > 1 else parts[0]
+
+    @ray.remote
+    def gather(*ref_lists):
+        tbls = []
+        any_rows = False
+        for refs in ref_lists:
+            parts = [t for t in ray.get(list(refs))
+                     if t is not None and t.num_rows]
+            any_rows = any_rows or bool(parts)
+            tbls.append(pa.concat_tables(parts).combine_chunks()
+                        if parts else None)
+        if not any_rows and empty_result is not None:
+            return empty_result
+        return fn(*tbls)
+
+    all_cols = []
+    for ds, key in sides:
+        cols: list[list] = [[] for _ in range(B)]
+        for ref in ds.to_arrow_refs():
+            out = split.remote(ref, key)
+            if B == 1:
+                out = [out]
+            for t, part in enumerate(out):
+                cols[t].append(part)
+        all_cols.append(cols)
+    return rd.from_arrow_refs(
+        [gather.remote(*[c[t] for c in all_cols]) for t in range(B)])

@@ -93,3 +93,36 @@ def test_cogroup_scatter_string_keys(ray_session):
                           4, fn, empty_result=out_schema.empty_table())
     rows = sorted((r["k"], r["b"]) for r in out.take_all())
     assert rows == sorted((f"u{i}", i) for i in range(0, 30, 3))
+
+
+def test_multiway_cogroup_scatter_three_sides(ray_session):
+    """One exchange co-partitions ANY number of sides on a shared
+    key; fn sees one table (or None) per side per bucket. Result
+    must equal the sequential two-join composition."""
+    from skosconverter_ray.stages.shardutil import \
+        multiway_cogroup_scatter
+
+    base = pa.table({"k": pa.array(list(range(40)), pa.int64())})
+    evens = pa.table({"ek": pa.array(list(range(0, 40, 2)), pa.int64())})
+    vals = pa.table({"vk": pa.array(list(range(0, 40, 5)), pa.int64()),
+                     "v": pa.array([i * 7 for i in range(0, 40, 5)],
+                                   pa.int64())})
+    out_schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+
+    def fn(b, e, v):
+        import pyarrow.compute as pc
+
+        if b is None or e is None or v is None:
+            return out_schema.empty_table()
+        t = b.filter(pc.is_in(b["k"],
+                              value_set=e["ek"].combine_chunks()))
+        return t.join(v, keys=["k"], right_keys=["vk"],
+                      join_type="inner").cast(out_schema)
+
+    out = multiway_cogroup_scatter(
+        [(rd.from_arrow(base).repartition(3).materialize(), "k"),
+         (rd.from_arrow(evens).repartition(2).materialize(), "ek"),
+         (rd.from_arrow(vals).materialize(), "vk")],
+        5, fn, empty_result=out_schema.empty_table())
+    rows = sorted((r["k"], r["v"]) for r in out.take_all())
+    assert rows == [(i, i * 7) for i in range(0, 40, 10)]
