@@ -93,6 +93,7 @@ HEADLINE = [
     # round 5 additions
     "doc_bm25_topk",
     "events_interval_coverage",
+    "media_dedup_phash",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -4885,6 +4885,110 @@ def ann_topk_lsh(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: perceptual-hash image dedup (average-hash over decoded
+# pixels — the media-side near-dup operator of the interleaved corpus)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "media_dedup_phash",
+    """
+    SELECT CAST(193 AS BIGINT) AS n_media,
+           CAST(14 AS BIGINT) AS n_groups,
+           CAST(34 AS BIGINT) AS largest_group,
+           true AS coarsens_exact
+    """,
+)
+def media_dedup_phash(sf_dir: str):
+    """Perceptual image dedup: decode every image ref's REAL BMP
+    bytes, 8×8 integer box-average to grayscale, threshold at the
+    mean -> a 64-bit average hash (aHash); images sharing a hash form
+    one dedup group. Actor pool resolves the media store once per
+    actor (refs, never inlined bytes, ship through the pipeline).
+
+    Oracle row: group structure constants for the pinned seed-42
+    generator (sf-independent — the corpus is synthetic, like every
+    media query) plus ``coarsens_exact``, an engine-computed bit:
+    the phash partition must be a COARSENING of the exact-pixel
+    partition (n_phash_groups <= n_exact_groups — here 14 < 16: the
+    store draws each image as the same gradient+checker pattern at
+    one of 16 sizes, and the 8×8 average hash correctly identifies
+    the same pattern across sizes, which byte-exact dedup cannot).
+    Any decode / resize / hash drift flips a constant."""
+    import ray
+    import ray.data as rd
+
+    from . import corpus, vocab
+    from .stages.multimodal import build_media_store
+    from .stages.skew import bucket_aggregate
+
+    voc = vocab.generate_vocab(vocab.VocabSpec(n_schemes=2, n_concepts=40,
+                                               seed=42))
+    docs_tbl = corpus.generate_documents_table(400, voc, seed=42)
+    store = build_media_store(docs_tbl, kinds=("image",))
+    store_ref = ray.put(store)
+    refs = rd.from_arrow(store.select(["media_ref"]))
+
+    class PHasher:
+        """Per-actor: media store resolved once; per batch: decode,
+        8×8 box-average, grayscale, mean-threshold -> 64-bit aHash
+        plus an exact pixel checksum for the group-purity bit."""
+
+        def __init__(self, store_ref):
+            from .stages.multimodal import _resolve_store
+
+            self.store = _resolve_store(store_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .stages.multimodal import box_resize, decode_bmp
+
+            import zlib
+
+            hashes, keys = [], []
+            for ref in batch["media_ref"].to_pylist():
+                _fmt, payload = self.store[ref]
+                img = decode_bmp(payload)
+                small = box_resize(img, 8, 8)  # (8, 8, 3) uint8
+                gray = small.astype(np.int64).sum(axis=2)  # 3x lum
+                bits = (gray.reshape(-1) >
+                        gray.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for i, b in enumerate(bits):
+                    h |= b << np.uint64(i)
+                hashes.append(int(h & np.uint64((1 << 63) - 1)))
+                # exact-pixel identity: shape-tagged CRC (a plain
+                # pixel SUM collides across transposed gradients)
+                keys.append((zlib.crc32(img.tobytes()) << 16)
+                            ^ (img.shape[0] << 8) ^ img.shape[1])
+            return pa.table({
+                "phash": pa.array(hashes, pa.int64()),
+                "pix_key": pa.array(keys, pa.int64()),
+            })
+
+    rows = refs.map_batches(PHasher, fn_constructor_args=(store_ref,),
+                            concurrency=_pool_width(8), batch_size=64,
+                            batch_format="pyarrow")
+    # one fine-grained aggregate: (phash, exact-pixel identity) —
+    # dimension-sized output, folded on the driver
+    groups = _collect(
+        bucket_aggregate(rows, ["phash", "pix_key"],
+                         [("count", None, "n")], num_buckets=4),
+        pa.schema([("phash", pa.int64()), ("pix_key", pa.int64()),
+                   ("n", pa.int64())]))
+    g = groups.to_pandas()
+    n_media = int(g["n"].sum()) if len(g) else 0
+    by_phash = g.groupby("phash")["n"].sum() if len(g) else None
+    n_groups = int(by_phash.size) if len(g) else 0
+    largest = int(by_phash.max()) if len(g) else 0
+    n_exact = int(g["pix_key"].nunique()) if len(g) else 0
+    return pa.table({
+        "n_media": pa.array([n_media], pa.int64()),
+        "n_groups": pa.array([n_groups], pa.int64()),
+        "largest_group": pa.array([largest], pa.int64()),
+        "coarsens_exact": pa.array([n_groups <= n_exact], pa.bool_()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: media-span feature extraction (stubbed decode; rows-only —
 # deterministic fake features, plumbing pytest-verified)
 # ---------------------------------------------------------------------------
