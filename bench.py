@@ -8,10 +8,15 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
 
 ``--scaling`` mode: run the flagship docs->triples->canonical-graph
-pipeline twice in FRESH processes (num_cpus=8, then 32) on the same
-deterministic synthetic corpus and report both throughputs plus the
-scaling efficiency E = R32 / (4 * R8)  (sandbox proxy for the north
-rule's N vs 4N node criterion — see BASELINE.md).
+pipeline twice in FRESH processes (two widths from
+$GRAFT_SCALING_CPUS, default 4 and 16) on the same deterministic
+synthetic corpus and report both throughputs plus the scaling
+efficiency E = R_4N / (4 * R_N) (sandbox proxy for the north rule's
+N vs 4N node criterion — see BASELINE.md). ``--scaling-dedup`` runs
+the exact+MinHash dedup job through the same protocol (the
+shuffle-heavy shape); ``--scaling-curation`` runs the curation_v2
+multi-join composition (the barrier-heavy shape). All three report
+the same-run pure-CPU hardware ceiling alongside E.
 """
 
 from __future__ import annotations
