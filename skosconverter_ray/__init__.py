@@ -23,3 +23,41 @@ this package calls ``ray.init()``.
 """
 
 __version__ = "0.1.0"
+
+
+def _shim_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import DETERMINISTIC in
+    aiohttp-less environments. Ray Data's path resolution probes
+    ``from fsspec.implementations.http import HTTPFileSystem`` on
+    every read and catches only ``ModuleNotFoundError`` (path_util
+    _is_http_filesystem); serially that's what the missing aiohttp
+    raises, but when two driver threads materialize Datasets
+    concurrently the second import of the half-failed module raises a
+    plain ``ImportError: cannot import name 'HTTPFileSystem'`` which
+    escapes the narrow except and kills the pipeline. Registering a
+    stub module (its class is never instantiable from a real fs, so
+    every isinstance check stays False — exactly the no-aiohttp
+    semantics) removes the race entirely."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        pass
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 — mirrors the absent class
+        def __init__(self, *a, **k):
+            raise ModuleNotFoundError(
+                "aiohttp is not installed; http filesystem unavailable")
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_fsspec_http()

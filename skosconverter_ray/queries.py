@@ -7611,25 +7611,50 @@ def curation_v2_pipeline(sf_dir: str):
             return pa.table({"doc_id": batch["doc_id"],
                              "lang": batch["lang"]}).filter(pa.array(ok))
 
-    # elastic tasks (weights are four ints — broadcast-cheap; the
-    # capped pool was the width ceiling in the scaling trace)
-    base = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
-        .map_batches(Gate23(), batch_size=1024,
-                     batch_format="pyarrow").materialize()
+    # The four component pipelines are INDEPENDENT until the 4-way
+    # cogroup, so they materialize on concurrent driver threads
+    # (each Dataset runs its own streaming executor; the cluster
+    # shares tasks across them). Round 5: sequential materialization
+    # serialized each component's barrier chain — the composition's
+    # measured ~45 s width-independent floor — while none of them
+    # alone can fill the box. Elastic-task gates (weights are four
+    # ints, shipped in the closure) keep every CPU usable.
+    from concurrent.futures import ThreadPoolExecutor
 
-    nd = _normalize_dedup_ds(sf_dir).map_batches(
-        lambda b: pa.table({"nd_doc": b["doc_id"]}).filter(
-            pc.equal(b["doc_id"], b["canonical_id"])),
-        batch_format="pyarrow").materialize()
-    dsr = _dsir_ds(sf_dir).map_batches(
-        lambda b: pa.table({"ds_doc": b["doc_id"],
-                            "n_tokens": b["n_tokens"]}).filter(
-            pc.greater_equal(b["dsir_bits"],
-                             pc.negate(b["n_tokens"]))),
-        batch_format="pyarrow").materialize()
-    cs = _cluster_sample_ds(sf_dir).map_batches(
-        lambda b: pa.table({"cs_doc": b["doc_id"]}).filter(b["kept"]),
-        batch_format="pyarrow").materialize()
+    def _base():
+        return _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+            .map_batches(Gate23(), batch_size=1024,
+                         batch_format="pyarrow").materialize()
+
+    def _nd():
+        return _normalize_dedup_ds(sf_dir).map_batches(
+            lambda b: pa.table({"nd_doc": b["doc_id"]}).filter(
+                pc.equal(b["doc_id"], b["canonical_id"])),
+            batch_format="pyarrow").materialize()
+
+    def _dsr():
+        return _dsir_ds(sf_dir).map_batches(
+            lambda b: pa.table({"ds_doc": b["doc_id"],
+                                "n_tokens": b["n_tokens"]}).filter(
+                pc.greater_equal(b["dsir_bits"],
+                                 pc.negate(b["n_tokens"]))),
+            batch_format="pyarrow").materialize()
+
+    def _cs():
+        return _cluster_sample_ds(sf_dir).map_batches(
+            lambda b: pa.table({"cs_doc": b["doc_id"]}).filter(
+                b["kept"]),
+            batch_format="pyarrow").materialize()
+
+    # base materializes FIRST on the main thread: the initial
+    # execution warms Ray Data's lazily-imported machinery (fsspec
+    # filesystem resolution raced when four first-executions imported
+    # it concurrently); the remaining three components then overlap.
+    base = _base()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fn, fd, fc = (pool.submit(_nd), pool.submit(_dsr),
+                      pool.submit(_cs))
+        nd, dsr, cs = fn.result(), fd.result(), fc.result()
 
     # ONE 4-way doc-keyed cogroup (round 5 — was three sequential
     # binary cogroup joins, i.e. three exchange barriers for a single
