@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_bm25_topk",
     "events_interval_coverage",
     "media_dedup_phash",
+    "graph_bfs_hops",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -7381,6 +7381,60 @@ def _kcore_actor_members(sf_dir: str):
                  k=3, max_driver_edges=0, engine="actors", num_shards=8)
 
 
+@_q(
+    "graph_bfs_hops",
+    """
+    WITH RECURSIVE ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    e0 AS (SELECT a.s AS x, b.s AS y
+           FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2 HAVING count(*) >= 25),
+    eb AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+    seeds AS (SELECT DISTINCT x FROM eb ORDER BY x LIMIT 3),
+    reach(node, h) AS (
+      SELECT x, 0 FROM seeds
+      UNION
+      SELECT eb.y, r.h + 1 FROM reach r JOIN eb ON eb.x = r.node
+      WHERE r.h < 4
+    )
+    SELECT node, CAST(min(h) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_hops(sf_dir: str):
+    """Bounded multi-source BFS (hop distance ≤ 4 from the 3 smallest
+    supplier ids) over the strong co-part graph — the reachability /
+    neighborhood-expansion shape (entity-context collection around a
+    seed set). The engine runs BOTH paths and returns the driver
+    sweep's rows with an engines_match bit: the driver path is a
+    numpy frontier sweep over the gated edge list; the distributed
+    path is a bounded-round Dataset loop (one frontier⋈edges cogroup
+    + one dedup aggregate + one anti-join per round — BFS has a
+    known round bound, so no long-lived Pregel shards are needed).
+    DuckDB recomputes the same closure as a recursive CTE with
+    min-hop semantics."""
+    from .stages.graph import bfs_hops
+
+    edges = _copart_supplier_pairs(
+        sf_dir, min_weight=_COPART_MIN_W).materialize()
+    drv = {r["node"]: r["hops"]
+           for b in bfs_hops(edges).iter_batches(
+               batch_format="pyarrow")
+           for r in b.to_pylist()}
+    act = {r["node"]: r["hops"]
+           for b in bfs_hops(edges, max_driver_edges=0,
+                             engine="actors").iter_batches(
+               batch_format="pyarrow")
+           for r in b.to_pylist()}
+    assert drv == act, "bfs engines diverged"
+    items = sorted(drv.items())
+    return pa.table({
+        "node": pa.array([n for n, _ in items], pa.int64()),
+        "hops": pa.array([h for _, h in items], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Documents: containment join (asymmetric dedup — a short doc embedded
 # in a longer one, which symmetric jaccard misses)
@@ -7649,12 +7703,19 @@ def curation_v2_pipeline(sf_dir: str):
     # base materializes FIRST on the main thread: the initial
     # execution warms Ray Data's lazily-imported machinery (fsspec
     # filesystem resolution raced when four first-executions imported
-    # it concurrently); the remaining three components then overlap.
+    # it concurrently); the remaining three components then overlap
+    # — but only on a session wide enough to feed three executors
+    # (measured at 300k docs: 16 cpus 53 s -> 41 s with overlap,
+    # 4 cpus 71 s -> 113 s WITH it — concurrent executors thrash a
+    # narrow box, so width < 8 stays sequential).
     base = _base()
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fn, fd, fc = (pool.submit(_nd), pool.submit(_dsr),
-                      pool.submit(_cs))
-        nd, dsr, cs = fn.result(), fd.result(), fc.result()
+    if _pool_width()[1] >= 8:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fn, fd, fc = (pool.submit(_nd), pool.submit(_dsr),
+                          pool.submit(_cs))
+            nd, dsr, cs = fn.result(), fd.result(), fc.result()
+    else:
+        nd, dsr, cs = _nd(), _dsr(), _cs()
 
     # ONE 4-way doc-keyed cogroup (round 5 — was three sequential
     # binary cogroup joins, i.e. three exchange barriers for a single

@@ -1113,6 +1113,126 @@ class _KCoreShard:
                          "in_core": pa.array(self.alive)})
 
 
+def bfs_hops(edges_ds, *, n_seeds: int = 3, max_hops: int = 4,
+             a_col: str = "a", b_col: str = "b",
+             max_driver_edges: int = 4_000_000, num_buckets: int = 16,
+             engine: str = "auto"):
+    """Bounded multi-source BFS over undirected int64 ``(a, b)`` edge
+    rows: hop distance from the ``n_seeds`` SMALLEST node ids, out to
+    ``max_hops``. Returns (node, hops) for reached nodes only —
+    exactly a bounded recursive-CTE transitive closure with min-hop
+    semantics, so DuckDB can verify it row-for-row.
+
+    Engines (graph.resolve_engine contract): ``driver`` runs a numpy
+    frontier sweep over dictionary codes under the edge gate;
+    ``actors`` (the distributed path — BFS is bounded-round, so here
+    it is a Dataset-loop rather than a long-lived Pregel shard: one
+    frontier⋈edges cogroup plus one frontier-dedup anti pass per
+    round, ``max_hops`` rounds total, nothing node-set-sized on the
+    driver)."""
+    import ray.data as rd
+
+    from .joinutil import cogroup_join
+    from .skew import bucket_aggregate
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"x": np.concatenate([a, b]),
+                         "y": np.concatenate([b, a])})
+
+    sym = edges_ds.map_batches(norm, batch_format="pyarrow") \
+        .materialize()
+    n_edges = sym.count()
+    out_schema = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # seeds: the n smallest node ids — per-block partial mins folded
+    # on the driver (num_blocks × n rows, never the node set)
+    partial = [b for b in sym.map_batches(
+        lambda t: pa.table({"x": pa.array(np.sort(np.unique(
+            t["x"].to_numpy(zero_copy_only=False)))[:n_seeds],
+            pa.int64())}),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    seeds = np.sort(np.unique(np.concatenate(
+        [p["x"].to_numpy(zero_copy_only=False) for p in partial
+         if p.num_rows])))[:n_seeds]
+
+    if resolve_engine(engine, n_edges, max_driver_edges) == "driver":
+        xs, ys = [], []
+        for b in sym.iter_batches(batch_format="pyarrow",
+                                  batch_size=262144):
+            xs.append(b["x"].to_numpy(zero_copy_only=False))
+            ys.append(b["y"].to_numpy(zero_copy_only=False))
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        nodes, inv_x = np.unique(x, return_inverse=True)
+        iy = np.searchsorted(nodes, y)
+        dist = np.full(len(nodes), -1, np.int64)
+        dist[np.searchsorted(nodes, seeds)] = 0
+        frontier = dist == 0
+        for h in range(1, max_hops + 1):
+            hit = frontier[inv_x]
+            cand = np.unique(iy[hit])
+            new = cand[dist[cand] < 0]
+            if new.size == 0:
+                break
+            dist[new] = h
+            frontier = np.zeros(len(nodes), bool)
+            frontier[new] = True
+        reached = dist >= 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[reached], pa.int64()),
+            "hops": pa.array(dist[reached], pa.int64())}))
+
+    # Dataset-loop engine: bounded rounds, every exchange task-level
+    reach = rd.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "h": pa.array(np.zeros(seeds.size, np.int64))})).materialize()
+    frontier = reach
+    parts = [reach]
+    for h in range(1, max_hops + 1):
+        nbr = cogroup_join(
+            frontier.map_batches(
+                lambda t: pa.table({"f_node": t["node"]}),
+                batch_format="pyarrow"),
+            sym, left_on="f_node", right_on="x", join_type="inner",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("f_node", pa.int64())]),
+            right_schema=pa.schema([("x", pa.int64()),
+                                    ("y", pa.int64())]))
+        cand = bucket_aggregate(
+            nbr.map_batches(lambda t: pa.table({"node": t["y"]}),
+                            batch_format="pyarrow"),
+            ["node"], [("count", None, "_n")],
+            num_buckets=num_buckets).drop_columns(["_n"])
+        seen = rd.from_arrow_refs(
+            [r for p in parts for r in p.to_arrow_refs()])
+        new = cogroup_join(
+            cand, seen.map_batches(
+                lambda t: pa.table({"s_node": t["node"]}),
+                batch_format="pyarrow"),
+            left_on="node", right_on="s_node", join_type="left anti",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=pa.schema([("s_node", pa.int64())]))
+        frontier = new.map_batches(
+            lambda t, _h=h: t.append_column(
+                "h", pa.array(np.full(t.num_rows, _h, np.int64))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        parts.append(frontier)
+    allr = rd.from_arrow_refs(
+        [r for p in parts for r in p.to_arrow_refs()])
+    out = bucket_aggregate(allr, ["node"], [("min", "h", "hops")],
+                           num_buckets=num_buckets)
+    return out
+
+
 def _kcore_actors(norm, *, k: int, num_shards: int):
     import ray
     import ray.data as rd

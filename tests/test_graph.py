@@ -259,3 +259,31 @@ def test_kcore_random_parity(ray_session, forced):
         got = {r["node"]: r["in_core"]
                for r in kcore(ds, k=k, num_shards=4, **kw).take_all()}
         assert got == _kcore_oracle(edges, k), k
+
+
+def test_bfs_hops_known_graph_and_engine_parity(ray_session):
+    """Crafted graph with known hop distances from the two smallest
+    nodes; driver sweep and the bounded-round Dataset loop must agree
+    with each other and with the hand-computed answer, including the
+    max_hops cutoff and an unreachable component."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.graph import bfs_hops
+
+    # chain 1-2-3-4-5-6-7 plus seed 0 attached at 3; island 90-91
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (0, 3),
+             (90, 91)]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    })).repartition(3)
+    # seeds = 2 smallest = {0, 1}; max_hops=2
+    want = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    drv = {r["node"]: r["hops"]
+           for r in bfs_hops(ds, n_seeds=2, max_hops=2).take_all()}
+    act = {r["node"]: r["hops"]
+           for r in bfs_hops(ds, n_seeds=2, max_hops=2,
+                             max_driver_edges=0,
+                             engine="actors").take_all()}
+    assert drv == want and act == want
