@@ -3855,10 +3855,13 @@ def curation_survivors(docs):
         head = np.concatenate(([True], h_s[1:] != h_s[:-1]))
         return pa.table({"doc_id": pa.array(id_s[~head], pa.int64())})
 
-    exact_losers = (hashed.map_batches(tagb, batch_format="pyarrow")
-                    .groupby("_bucket")
-                    .map_groups(lambda g: losers(g.drop_columns(["_bucket"])),
-                                batch_format="pyarrow"))
+    from .stages.shardutil import scatter_apply_by_value
+
+    exact_losers = scatter_apply_by_value(
+        hashed.map_batches(tagb, batch_format="pyarrow").materialize(),
+        "_bucket", 16,
+        lambda g: losers(g.drop_columns(["_bucket"])),
+        empty_result=pa.schema([("doc_id", pa.int64())]).empty_table())
 
     # (2) near-dup non-representative members
     pairs = minhash_near_dup_pairs(docs, threshold=0.8,
