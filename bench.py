@@ -100,6 +100,8 @@ HEADLINE = [
     "events_interval_coverage",
     "media_dedup_phash",
     "graph_bfs_hops",
+    "events_scd2_history",
+    "events_attribution",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -5237,6 +5237,193 @@ def events_sessions(sf_dir: str):
 
 
 @_q(
+    "events_scd2_history",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM s
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    v AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def events_scd2_history(sf_dir: str):
+    """Type-2 slowly-changing-dimension history build: compress each
+    user's event stream into validity intervals of their CURRENT
+    event_type — a row opens when the attribute changes and closes
+    when the next change arrives (open-ended + is_current for the
+    last). The temporal-table/warehouse-dimension shape (audit
+    history, as-of semantics feed off it). Deterministic ordering by
+    (ts, event_id) on both engines.
+
+    Shape: ONE user-keyed task scatter; per bucket a vectorized
+    polars pass (sort, lag-compare to keep change rows, lead for the
+    closing timestamp). Nothing corpus-sized on the driver."""
+    from .stages.shardutil import scatter_apply_by_value
+
+    nb = 16
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("valid_from", pa.string()), ("valid_to", pa.string()),
+        ("is_current", pa.bool_())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64) % nb) \
+            .astype(np.int32)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"],
+            "ts_us": pa.array(ts, pa.int64()),
+            "_bucket": pa.array(bk, pa.int32()),
+        })
+
+    def scd2(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(tbl.select(
+            ["user_id", "event_type", "event_id", "ts_us"]))
+        df = (df.sort(["user_id", "ts_us", "event_id"])
+              .with_columns(prev=pl.col("event_type").shift(1)
+                            .over("user_id"))
+              .filter(pl.col("prev").is_null()
+                      | (pl.col("event_type") != pl.col("prev")))
+              .with_columns(to_us=pl.col("ts_us").shift(-1)
+                            .over("user_id")))
+        df = df.with_columns(
+            valid_from=pl.from_epoch(pl.col("ts_us"), time_unit="us")
+            .dt.strftime("%Y-%m-%d %H:%M:%S"),
+            valid_to=pl.when(pl.col("to_us").is_null())
+            .then(pl.lit("9999-12-31 00:00:00"))
+            .otherwise(pl.from_epoch(pl.col("to_us"), time_unit="us")
+                       .dt.strftime("%Y-%m-%d %H:%M:%S")),
+            is_current=pl.col("to_us").is_null(),
+        ).select(["user_id", "event_type", "valid_from", "valid_to",
+                  "is_current"])
+        return df.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id",
+                                  "ts"])
+    out = scatter_apply_by_value(
+        ds.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", nb, scd2, empty_result=out_schema.empty_table())
+    return _collect(out, out_schema)
+
+
+@_q(
+    "events_attribution",
+    """
+    WITH w AS (
+      SELECT user_id, event_type, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS last_touch,
+             first_value(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS first_touch
+      FROM events
+    )
+    SELECT first_touch, coalesce(last_touch, 'none') AS last_touch,
+           count(*) AS n
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def events_attribution(sf_dir: str):
+    """Marketing-style conversion attribution: every purchase is
+    credited to the user's FIRST-ever touch (their earliest event
+    type) and to the LAST non-purchase touch strictly before the
+    purchase ('none' when the purchase is the user's first activity);
+    output = conversion counts per (first_touch, last_touch) pair.
+    Deterministic (ts, event_id) ordering on both engines.
+
+    Shape: ONE user-keyed task scatter; per bucket a vectorized
+    polars pass (sort, per-user first, masked shift+forward-fill for
+    the last non-purchase predecessor) pre-aggregates its
+    (first, last) counts, then one tiny final aggregate over
+    num_buckets × |type|² partial rows."""
+    from .stages.shardutil import scatter_apply_by_value
+    from .stages.skew import bucket_aggregate
+
+    nb = 16
+    part_schema = pa.schema([("first_touch", pa.string()),
+                             ("last_touch", pa.string()),
+                             ("n", pa.int64())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64) % nb) \
+            .astype(np.int32)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"],
+            "ts_us": pa.array(ts, pa.int64()),
+            "_bucket": pa.array(bk, pa.int32()),
+        })
+
+    def attribute(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        df = pl.from_arrow(tbl.select(
+            ["user_id", "event_type", "event_id", "ts_us"]))
+        df = (df.sort(["user_id", "ts_us", "event_id"])
+              .with_columns(
+                  first_touch=pl.col("event_type").first()
+                  .over("user_id"),
+                  last_touch=pl.when(pl.col("event_type")
+                                     != "purchase")
+                  .then(pl.col("event_type")).otherwise(None)
+                  .shift(1).forward_fill().over("user_id"))
+              .filter(pl.col("event_type") == "purchase")
+              .with_columns(pl.col("last_touch").fill_null("none"))
+              .group_by(["first_touch", "last_touch"])
+              .agg(n=pl.len().cast(pl.Int64)))
+        return df.to_arrow().cast(part_schema)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id",
+                                  "ts"])
+    partials = scatter_apply_by_value(
+        ds.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", nb, attribute,
+        empty_result=part_schema.empty_table())
+    out = bucket_aggregate(partials, ["first_touch", "last_touch"],
+                           [("sum", "n", "n")], num_buckets=4)
+    return _collect(out, part_schema)
+
+
+@_q(
     "events_interval_coverage",
     """
     WITH e AS (
