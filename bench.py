@@ -102,6 +102,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "events_scd2_history",
     "events_attribution",
+    "events_regression",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -5586,6 +5586,112 @@ def events_sufficient_stats(sf_dir: str):
 
 
 @_q(
+    "events_regression",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(hr) AS BIGINT) AS sx,
+             CAST(sum(xc) AS BIGINT) AS sy,
+             CAST(sum(hr * hr) AS BIGINT) AS sxx,
+             CAST(sum(xc * xc) AS BIGINT) AS syy,
+             CAST(sum(hr * xc) AS BIGINT) AS sxy
+      FROM (SELECT event_type,
+                   CAST(trunc(value * 100) AS BIGINT) AS xc,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hr
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) = 0
+                     OR (n * syy - sy * sy) = 0 THEN NULL
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM s
+    """,
+)
+def events_regression(sf_dir: str):
+    """Per-event-type least-squares fit of spend (integer cents)
+    against hour-of-day — grouped linear regression from EXACT
+    integer sufficient statistics (the distributed-ML prep shape
+    shared with events_sufficient_stats): the shuffle moves six
+    integer moments per group, never rows, and slope / intercept /
+    r² are derived with the IDENTICAL float expressions on both
+    sides, so the doubles are bitwise equal (integer sums are
+    reduction-order-exact; each division/multiplication consumes
+    exactly-converted int64 operands). Degenerate groups (zero
+    x-variance or y-variance) yield NULL, same rule both sides."""
+    from .stages.skew import bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        xc = _to_cents(batch["value"])
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hr = pa.array((ts // hour_us) % 24, pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "x": hr,
+            "y": xc,
+            "xx": pc.multiply(hr, hr),
+            "yy": pc.multiply(xc, xc),
+            "xy": pc.multiply(hr, xc),
+        })
+
+    stats = _collect(bucket_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        [("count", None, "n"), ("sum", "x", "sx"),
+         ("sum", "y", "sy"), ("sum", "xx", "sxx"),
+         ("sum", "yy", "syy"), ("sum", "xy", "sxy")],
+        num_buckets=8), pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("sx", pa.int64()), ("sy", pa.int64()),
+            ("sxx", pa.int64()), ("syy", pa.int64()),
+            ("sxy", pa.int64())]))
+    n = stats["n"].to_numpy()
+    sx = stats["sx"].to_numpy()
+    sy = stats["sy"].to_numpy()
+    sxx = stats["sxx"].to_numpy()
+    syy = stats["syy"].to_numpy()
+    sxy = stats["sxy"].to_numpy()
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = num.astype(np.float64) / denx.astype(np.float64)
+        intercept = (sy.astype(np.float64)
+                     - slope * sx.astype(np.float64)) \
+            / n.astype(np.float64)
+        r2 = (num.astype(np.float64) * num.astype(np.float64)) \
+            / (denx.astype(np.float64) * deny.astype(np.float64))
+    return pa.table({
+        "event_type": stats["event_type"],
+        "n": stats["n"],
+        "slope": pa.array(
+            [None if denx[i] == 0 else float(slope[i])
+             for i in range(len(n))], pa.float64()),
+        "intercept": pa.array(
+            [None if denx[i] == 0 else float(intercept[i])
+             for i in range(len(n))], pa.float64()),
+        "r2": pa.array(
+            [None if denx[i] == 0 or deny[i] == 0 else float(r2[i])
+             for i in range(len(n))], pa.float64()),
+    })
+
+
+@_q(
     "events_retention",
     """
     WITH firsts AS (
