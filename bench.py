@@ -103,6 +103,7 @@ HEADLINE = [
     "events_scd2_history",
     "events_attribution",
     "events_regression",
+    "ann_range_search",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

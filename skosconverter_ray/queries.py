@@ -1030,6 +1030,74 @@ def region_customer_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 @_q(
+    "ann_range_search",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    d AS (
+      SELECT e.vec_id,
+        CAST(list_sum(list_transform(list_zip(e.embedding, q.qe),
+             x -> CAST(trunc(CAST(x[1] AS DOUBLE) * 1000) AS BIGINT)
+                * CAST(trunc(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT)))
+             AS BIGINT) AS dot,
+        CAST(list_sum(list_transform(e.embedding,
+             v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                * CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)))
+             AS BIGINT) AS xx
+      FROM embeddings e, q
+    ),
+    qq AS (SELECT CAST(list_sum(list_transform(qe,
+            v -> CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+               * CAST(trunc(CAST(v AS DOUBLE) * 1000) AS BIGINT)))
+            AS BIGINT) AS qq FROM q)
+    SELECT vec_id, dot AS dot_milli
+    FROM d, qq
+    WHERE vec_id <> 0 AND dot > 0 AND 16 * dot * dot >= qq.qq * xx
+    """,
+)
+def ann_range_search(sf_dir: str):
+    """RANGE similarity search (radius query — "everything at cosine
+    ≥ 0.25 of the query", the dedup-by-similarity / recall-set shape
+    that top-k cannot express): vectors quantize to milli-units
+    (trunc(v·1000) — both engines quantize through the same
+    double-precision expression), so dot products and norms are EXACT
+    int64 and the threshold test is the integer inequality
+    16·dot² ≥ |q|²·|x|² with dot > 0 — no float comparison anywhere,
+    no boundary row can flap. Zero-shuffle shape: the quantized query
+    broadcasts in the task closure, one vectorized int64 matmul per
+    batch, a stateless filter — at 100 TB this is an embarrassingly
+    parallel scan, exactly as it should be."""
+    import pyarrow.parquet as pq
+
+    from .functions.arrays import list_column_to_matrix
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qv = np.trunc(np.asarray(qtab["embedding"].to_pylist()[0],
+                             dtype=np.float64) * 1000).astype(np.int64)
+    qq = int((qv * qv).sum())
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def in_range(batch: pa.Table, _q=qv, _qq=qq) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.trunc(list_column_to_matrix(
+            batch["embedding"], dtype=np.float64) * 1000) \
+            .astype(np.int64)
+        dot = m @ _q
+        xx = (m * m).sum(axis=1)
+        keep = (ids != 0) & (dot > 0) & (16 * dot * dot >= _qq * xx)
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "dot_milli": pa.array(dot[keep], pa.int64()),
+        })
+
+    out = ds.map_batches(in_range, batch_format="pyarrow")
+    return _collect(out, pa.schema([("vec_id", pa.int64()),
+                                    ("dot_milli", pa.int64())]))
+
+
+@_q(
     "ann_topk_cosine",
     """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
