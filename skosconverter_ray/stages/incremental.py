@@ -106,6 +106,33 @@ class ShardStore:
         os.rename(tmp, path)
         return path
 
+    def compact(self, kind: str | None = None,
+                key: str | None = None) -> str | None:
+        """Merge every shard into ONE (deduplicating on ``key`` when
+        given, keeping the first occurrence in shard order — shards
+        sort lexically, i.e. arbitrarily-but-stably, and every store
+        writes identical rows for a duplicate key, so which survives
+        is immaterial) and delete the inputs. Crash contract: the
+        merged shard lands via the same atomic write BEFORE any input
+        is removed, so an interruption can only leave duplicate rows
+        behind — the state every consumer already tolerates (ingest
+        crash-replays create the same). A maintenance op for stores
+        that have accumulated many small per-round shards; at corpus
+        scale run it per key-range through state/manifest's
+        partitioned writer instead of this driver-side merge."""
+        paths = self.shard_paths(kind)
+        if len(paths) <= 1:
+            return paths[0] if paths else None
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        if key is not None and tbl.num_rows:
+            vals = tbl[key].to_numpy(zero_copy_only=False)
+            _u, first = np.unique(vals, return_index=True)
+            tbl = tbl.take(pa.array(np.sort(first), pa.int64()))
+        new = self.write(tbl, kind)
+        for p in paths:
+            os.remove(p)
+        return new
+
 
 def _fp_store(store_dir: str) -> ShardStore:
     from ..functions.hashing import content_hash_algo

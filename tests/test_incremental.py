@@ -189,3 +189,55 @@ def test_shard_store_core(tmp_path):
     pq.write_table(t, str(tmp_path / "shard-legacy.parquet"))
     with pytest.raises(StoreAlgoMismatch, match="unstamped"):
         st.num_rows()
+
+def test_store_compaction(ray_session, tmp_path):
+    """Compaction merges shards to one (dedup on key), preserves
+    query results for BOTH stores, and an interrupted compaction
+    (merged shard written, inputs not yet removed) only duplicates
+    rows — never changes answers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from skosconverter_ray.stages.incremental import (
+        _fp_store, _nd_store, ingest_near_dup, ingest_round,
+        load_store)
+
+    # exact store: 3 rounds -> 3 shards -> 1 after compaction
+    store = str(tmp_path / "fps")
+    ingest_round(_docs(["a b c", "d e f"]), store)
+    ingest_round(_docs(["d e f", "g h i"], start=10), store)
+    ingest_round(_docs(["j k l"], start=20), store)
+    before = list(load_store(store))
+    st = _fp_store(store)
+    assert len(st.shard_paths()) == 3
+    st.compact(key="h")
+    assert len(st.shard_paths()) == 1
+    assert list(load_store(store)) == before
+
+    # near-dup store: compact both kinds, flags unchanged
+    nd = str(tmp_path / "nd")
+    ingest_near_dup(_nd_docs(_ND_A), nd)
+    ingest_near_dup(_nd_docs(_ND_B), nd)
+    nds = _nd_store(nd)
+    nds.compact("index")
+    nds.compact("shingles", key="doc_id")
+    fb2 = {r["doc_id"]: r["dup_of_prior"]
+           for b in ingest_near_dup(_nd_docs(_ND_B), nd)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fb2 == {1: True, 3: True}
+
+    # interrupted compaction: merged shard exists ALONGSIDE inputs
+    p = st.shard_paths()[0]
+    dup = str(tmp_path / "fps" / "shard-zzzcrash.parquet")
+    pq.write_table(pq.read_table(p).replace_schema_metadata(None),
+                   dup)  # unstamped -> refused
+    import pytest
+
+    from skosconverter_ray.stages.incremental import StoreAlgoMismatch
+    with pytest.raises(StoreAlgoMismatch):
+        load_store(store)
+    os.remove(dup)
+    # a STAMPED duplicate shard (the real crash artifact) is benign
+    st.write(pq.read_table(p))
+    assert list(load_store(store)) == before
