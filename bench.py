@@ -338,8 +338,16 @@ def _scale_dedup_worker(num_cpus: int) -> None:
                              ["_h"], [("min", "doc_id", "doc_id"),
                                       ("count", None, "n_copies")],
                              num_buckets=128)
-    n_unique = exact.count()
-    n_pairs = minhash_near_dup_pairs(docs, threshold=0.8).count()
+    # the two dedup outputs are independent — overlap their barrier
+    # chains on driver threads (same pattern as curation_v2; the
+    # fsspec import race is shimmed at package import)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(exact.count)
+        f_pairs = pool.submit(
+            lambda: minhash_near_dup_pairs(docs, threshold=0.8).count())
+        n_unique, n_pairs = f_exact.result(), f_pairs.result()
     wall = time.perf_counter() - t0
     print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),
                       "docs": n_docs, "unique": n_unique,
