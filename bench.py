@@ -104,6 +104,7 @@ HEADLINE = [
     "events_attribution",
     "events_regression",
     "ann_range_search",
+    "graph_link_prediction",
 ]
 
 # large enough that per-doc compute dominates the fixed pipeline

@@ -7746,6 +7746,80 @@ def _kcore_actor_members(sf_dir: str):
 
 
 @_q(
+    "graph_link_prediction",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    w AS (SELECT a.s AS x, b.s AS y, count(*) AS c
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2),
+    mw AS (SELECT 3 * max(c) // 4 AS t FROM w),
+    e0 AS (SELECT x, y FROM w, mw WHERE c >= mw.t),
+    eb AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+    deg AS (SELECT x AS n, count(*) AS d FROM eb GROUP BY x),
+    common AS (
+      SELECT e1.y AS a, e2.y AS b, count(*) AS common
+      FROM eb e1 JOIN eb e2 ON e1.x = e2.x AND e1.y < e2.y
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.a, c.b, c.common FROM common c
+      LEFT JOIN e0 ON e0.x = c.a AND e0.y = c.b
+      WHERE e0.x IS NULL
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           CAST(da.d AS BIGINT) AS deg_a,
+           CAST(db.d AS BIGINT) AS deg_b
+    FROM cand JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+    ORDER BY common DESC, a, b LIMIT 20
+    """,
+)
+def graph_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the strong co-part graph:
+    the top-20 NON-adjacent supplier pairs ranked by shared-neighbor
+    count (endpoint degrees attached, all integer — the
+    candidate-generation step for proposing NEW relations in a
+    knowledge graph, e.g. skos:related edges between concepts that
+    co-occur through many intermediates but are not yet linked).
+    The strength threshold is DATA-DERIVED on both sides
+    (3·max(pair weight)//4 — the fixed _COPART_MIN_W leaves sf0.01's
+    projection complete, where no non-adjacent pair exists), computed
+    from per-block maxima folded on the driver, one scalar. Engine:
+    stages/graph.link_prediction_topk — per-center wedge expansion in
+    one task scatter (the triangles skew discipline), pair-count
+    aggregate, packed-key anti cogroup vs existing edges, two degree
+    joins, local top-k + bounded driver merge. DuckDB recomputes via
+    self-joins."""
+    from .stages.graph import link_prediction_topk
+    from .stages.skew import bucket_aggregate
+
+    raw = _copart_supplier_pairs(sf_dir)
+    weighted = bucket_aggregate(raw, ["a", "b"],
+                                [("count", None, "_w")],
+                                num_buckets=16,
+                                bucket_key="a").materialize()
+    mx = 0
+    for b in weighted.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [int(pc.max(t["_w"]).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        mx = max(mx, int(pc.max(b["m"]).as_py() or 0))
+    thr = 3 * mx // 4
+
+    edges = weighted.map_batches(
+        lambda t, _t=thr: t.filter(pc.greater_equal(
+            t["_w"], pa.scalar(_t, pa.int64())))
+        .drop_columns(["_w"]), batch_format="pyarrow")
+    return _collect(
+        link_prediction_topk(edges, k=20, num_buckets=16),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("common", pa.int64()), ("deg_a", pa.int64()),
+                   ("deg_b", pa.int64())]))
+
+
+@_q(
     "graph_bfs_hops",
     """
     WITH RECURSIVE ps AS (

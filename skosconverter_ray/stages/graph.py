@@ -1113,6 +1113,159 @@ class _KCoreShard:
                          "in_core": pa.array(self.alive)})
 
 
+def link_prediction_topk(edges_ds, *, k: int = 20,
+                         num_buckets: int = 16, a_col: str = "a",
+                         b_col: str = "b"):
+    """Common-neighbor link prediction over undirected int64 edges:
+    the top-``k`` NON-adjacent pairs by shared-neighbor count (ties
+    by (a, b)), with both endpoint degrees attached — the candidate
+    generator for proposing new relations in a knowledge graph (new
+    skos:related edges between co-occurring concepts). All-integer:
+    nothing here can flap on float ULPs.
+
+    Shape mirrors triangle_count's skew discipline: wedge pairs
+    generate per CENTER inside one task scatter (a hub of degree D
+    emits C(D,2) candidate pairs — the quadratic step, bounded per
+    bucket), one pair-count aggregate, one packed-key anti cogroup
+    drops existing edges, two cogroup joins attach degrees, local
+    top-k per block with a bounded driver merge."""
+    from .joinutil import cogroup_join
+    from .skew import bucket_aggregate
+
+    _SHIFT = np.int64(32)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) and ((np.maximum(a, b) >> np.int64(31)).any()):
+            raise ValueError("link_prediction: node ids must be < 2^31")
+        return pa.table({"x": np.concatenate([a, b]),
+                         "y": np.concatenate([b, a])})
+
+    sym = edges_ds.map_batches(norm, batch_format="pyarrow") \
+        .materialize()
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("common", pa.int64()),
+                            ("deg_a", pa.int64()),
+                            ("deg_b", pa.int64())])
+    if sym.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    deg = bucket_aggregate(
+        sym.map_batches(lambda t: pa.table({"node": t["x"]}),
+                        batch_format="pyarrow"),
+        ["node"], [("count", None, "d")], num_buckets=num_buckets)
+
+    # wedge pairs per center: co-locate each center's neighbor list,
+    # emit every unordered neighbor pair
+    from .shardutil import scatter_apply_by_value
+
+    def tag(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = x * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(32)).astype(np.int64)
+              % num_buckets).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(bk, pa.int32()))
+
+    pair_schema = pa.schema([("key", pa.int64())])
+
+    def wedge_pairs(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x_s, y_s = x[order], y[order]
+        _u, starts = np.unique(x_s, return_index=True)
+        lens = np.diff(np.append(starts, len(x_s)))
+        ranks = np.arange(len(x_s)) - np.repeat(starts, lens)
+        cnt = np.repeat(lens, lens) - 1 - ranks
+        total = int(cnt.sum())
+        if not total:
+            return pair_schema.empty_table()
+        first = np.repeat(np.arange(len(x_s)), cnt)
+        second = first + 1 + (np.arange(total)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        u, v = y_s[first], y_s[second]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        ne = lo != hi
+        return pa.table({"key": (lo[ne] << _SHIFT) | hi[ne]})
+
+    cand = scatter_apply_by_value(
+        sym.map_batches(tag, batch_format="pyarrow").materialize(),
+        "_bucket", num_buckets, wedge_pairs,
+        empty_result=pair_schema.empty_table())
+    counts = bucket_aggregate(cand, ["key"],
+                              [("count", None, "common")],
+                              num_buckets=num_buckets)
+
+    # drop already-adjacent pairs (packed-key anti cogroup)
+    def pack_edges(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pa.table({"ekey": (lo << _SHIFT) | hi})
+
+    novel = cogroup_join(
+        counts, sym.map_batches(pack_edges, batch_format="pyarrow"),
+        left_on="key", right_on="ekey", join_type="left anti",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("key", pa.int64()),
+                               ("common", pa.int64())]),
+        right_schema=pa.schema([("ekey", pa.int64())]))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        kk = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": kk >> _SHIFT,
+                         "b": kk & np.int64(0xFFFFFFFF),
+                         "common": t["common"]})
+
+    flat = novel.map_batches(unpack, batch_format="pyarrow")
+    j1 = cogroup_join(
+        flat, deg.map_batches(
+            lambda t: pa.table({"n1": t["node"], "deg_a": t["d"]}),
+            batch_format="pyarrow"),
+        left_on="a", right_on="n1", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("common", pa.int64())]),
+        right_schema=pa.schema([("n1", pa.int64()),
+                                ("deg_a", pa.int64())]))
+    j2 = cogroup_join(
+        j1, deg.map_batches(
+            lambda t: pa.table({"n2": t["node"], "deg_b": t["d"]}),
+            batch_format="pyarrow"),
+        left_on="b", right_on="n2", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("common", pa.int64()),
+                               ("deg_a", pa.int64())]),
+        right_schema=pa.schema([("n2", pa.int64()),
+                                ("deg_b", pa.int64())]))
+
+    def local_topk(t: pa.Table, _k=k) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["common"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -c))[:_k]
+        return t.take(pa.array(order, pa.int64())).select(
+            ["a", "b", "common", "deg_a", "deg_b"])
+
+    parts = [b for b in j2.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")]
+    allc = (pa.concat_tables(parts).combine_chunks() if parts
+            else out_schema.empty_table())
+    a = allc["a"].to_numpy(zero_copy_only=False)
+    b = allc["b"].to_numpy(zero_copy_only=False)
+    c = allc["common"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, -c))[:k]
+    import ray.data as rd
+
+    return rd.from_arrow(allc.take(pa.array(order, pa.int64()))
+                         .cast(out_schema))
+
+
 def bfs_hops(edges_ds, *, n_seeds: int = 3, max_hops: int = 4,
              a_col: str = "a", b_col: str = "b",
              max_driver_edges: int = 4_000_000, num_buckets: int = 16,
