@@ -287,3 +287,27 @@ def test_bfs_hops_known_graph_and_engine_parity(ray_session):
                              max_driver_edges=0,
                              engine="actors").take_all()}
     assert drv == want and act == want
+
+
+def test_link_prediction_known_graph(ray_session):
+    """Path graph 1-2-3-4-5 plus hub 9 attached to {1,3}: the
+    non-adjacent pairs sharing neighbors are hand-computable,
+    including the tie ordering and the adjacency exclusion."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from skosconverter_ray.stages.graph import link_prediction_topk
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 1), (9, 3)]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    })).repartition(2)
+    got = [(r["a"], r["b"], r["common"], r["deg_a"], r["deg_b"])
+           for r in link_prediction_topk(ds, k=10).take_all()]
+    # common neighbors among NON-adjacent pairs:
+    #  (1,3) via {2,9} -> 2;  (2,9) via {1,3} -> 2;
+    #  (2,4) via {3} -> 1;  (3,5) via {4} -> 1;  (4,9) via {3} -> 1
+    assert got == [(1, 3, 2, 2, 3), (2, 9, 2, 2, 2),
+                   (2, 4, 1, 2, 2), (3, 5, 1, 3, 1),
+                   (4, 9, 1, 2, 2)]
